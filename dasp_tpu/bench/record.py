@@ -1,0 +1,55 @@
+"""CSV recorder replicating the reference's per-matrix record schema
+(``dasp_f64.h:1438-1442``; f16 variant with preprocessing time,
+``dasp_f16.h:1755-1759``).  One row is appended per benchmarked matrix to
+``data/spmv_<dtype>_record.csv``."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+FIELDS = [
+    "filename", "rowA", "colA", "nnzA",
+    "short_row_1", "common_13", "short_row_3", "short_row_4", "short_row_2",
+    "row_long", "row_block", "nnz_short", "nnz_long", "nnz_irreg",
+    "rate_fill0", "block_longest", "data_X",
+    "dasp_pre", "dasp_time", "dasp_gflops",
+    "dasp_bandwidth1", "dasp_bandwidth2",
+    "baseline_time", "baseline_gflops",
+]
+
+
+def append_record(path: str, row: Dict) -> None:
+    new = not os.path.exists(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        if new:
+            f.write(",".join(FIELDS) + "\n")
+        f.write(",".join(str(row.get(k, "")) for k in FIELDS) + "\n")
+
+
+def record_from(plan, result, name: str, dtype: str,
+                baseline=None) -> Dict:
+    c = plan.census
+    row = dict(
+        filename=name, rowA=plan.n_rows, colA=plan.n_cols, nnzA=plan.nnz,
+        short_row_1=c.get("short_row_1", 0), common_13=c.get("common_13", 0),
+        short_row_3=c.get("short_row_3", 0),
+        short_row_4=c.get("short_row_4", 0),
+        short_row_2=c.get("short_row_2", 0),
+        row_long=c.get("row_long", 0), row_block=c.get("row_block", 0),
+        nnz_short=c.get("nnz_short", 0), nnz_long=c.get("nnz_long", 0),
+        nnz_irreg=int(plan.stats.get("nnz_irreg", 0)),
+        rate_fill0=round(plan.stats.get("rate_fill0", 0.0), 4),
+        block_longest=plan.config.block_longest,
+        data_X="",
+        dasp_pre=round(result.preprocess_seconds * 1e3, 3),
+        dasp_time=round(result.seconds_per_iter * 1e3, 6),
+        dasp_gflops=round(result.gflops, 3),
+        dasp_bandwidth1=round(result.bandwidth1_gbs, 3),
+        dasp_bandwidth2=round(result.bandwidth2_gbs, 3),
+    )
+    if baseline is not None:
+        row["baseline_time"] = round(baseline.seconds_per_iter * 1e3, 6)
+        row["baseline_gflops"] = round(baseline.gflops, 3)
+    return row

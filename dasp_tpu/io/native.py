@@ -1,0 +1,88 @@
+"""ctypes binding to the native C++ Matrix Market parser (libdasp_host).
+
+The reference's loader is native C (``mmio.h``, ``mmio_highlevel.h``); ours
+is C++ (see ``native/``), exposed through a C ABI and loaded here.  Falls
+back cleanly when the shared library has not been built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from ..sparse import CSRMatrix
+
+_LIB = None
+_TRIED = False
+
+
+def _find_lib():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    candidates = [
+        os.path.join(here, "_native", "libdasp_host.so"),
+        os.path.join(os.path.dirname(here), "native", "libdasp_host.so"),
+    ]
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _find_lib()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.dasp_read_mtx.restype = ctypes.c_void_p
+    lib.dasp_read_mtx.argtypes = [ctypes.c_char_p]
+    lib.dasp_csr_dims.restype = None
+    lib.dasp_csr_dims.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int64),
+                                  ctypes.POINTER(ctypes.c_int64),
+                                  ctypes.POINTER(ctypes.c_int64)]
+    lib.dasp_csr_export.restype = None
+    lib.dasp_csr_export.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_int64),
+                                    ctypes.POINTER(ctypes.c_int32),
+                                    ctypes.POINTER(ctypes.c_double)]
+    lib.dasp_csr_free.restype = None
+    lib.dasp_csr_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_mtx(path, dtype=np.float64) -> CSRMatrix:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native parser not built")
+    handle = lib.dasp_read_mtx(os.fsencode(path))
+    if not handle:
+        raise ValueError(f"native parser failed on {path}")
+    try:
+        m = ctypes.c_int64()
+        n = ctypes.c_int64()
+        nnz = ctypes.c_int64()
+        lib.dasp_csr_dims(handle, ctypes.byref(m), ctypes.byref(n),
+                          ctypes.byref(nnz))
+        row_ptr = np.empty(m.value + 1, dtype=np.int64)
+        col_idx = np.empty(nnz.value, dtype=np.int32)
+        values = np.empty(nnz.value, dtype=np.float64)
+        lib.dasp_csr_export(
+            handle,
+            row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            col_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    finally:
+        lib.dasp_csr_free(handle)
+    return CSRMatrix(int(m.value), int(n.value), row_ptr, col_idx,
+                     values.astype(dtype, copy=False))

@@ -1,0 +1,280 @@
+"""Multi-chip SpMV: row-slab partitioning over a 1-D device mesh.
+
+This capability is *new* relative to the reference (which is strictly
+single-GPU, SURVEY.md §2): rows are partitioned into contiguous slabs
+balanced by nnz, each chip owns its slab's packed plan, x is sharded by rows
+and replicated on-chip via ``jax.lax.all_gather`` over the ICI mesh axis, and
+y needs no communication at all (a row partition makes outputs disjoint).
+
+Because ``shard_map`` traces one program for all chips, every chip's lowered
+plan must share one shape signature.  ``_harmonize`` zero-pads all per-chip
+arrays to the elementwise-max shapes (padded value tiles are zero => they
+contribute nothing; padded position entries are INT32_MAX => scatter drops
+them), then stacks them on a leading mesh axis.  The scatter executor
+(``spmv_scatter_fn``) is used because concat-offsets would differ per chip.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .config import DaspConfig, DEFAULT_CONFIG
+from .plan import build_plan
+from .sparse import CSRMatrix
+from .ops import dd
+from .ops.xla_backend import (F64, PlanMeta, _SENTINEL, plan_to_scatter_arrays,
+                              spmv_scatter_fn)
+
+
+def partition_rows(csr: CSRMatrix, n_parts: int) -> List[Tuple[int, int]]:
+    """Contiguous row ranges with approximately equal nnz per part."""
+    targets = np.linspace(0, csr.nnz, n_parts + 1)
+    bounds = np.searchsorted(csr.row_ptr, targets, side="left")
+    bounds[0], bounds[-1] = 0, csr.n_rows
+    bounds = np.maximum.accumulate(bounds)
+    return [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_parts)]
+
+
+def slab_csr(csr: CSRMatrix, start: int, end: int) -> CSRMatrix:
+    """Extract rows [start, end) as a standalone CSR (full column space)."""
+    lo, hi = int(csr.row_ptr[start]), int(csr.row_ptr[end])
+    return CSRMatrix(end - start, csr.n_cols,
+                     (csr.row_ptr[start:end + 1] - lo).copy(),
+                     csr.col_idx[lo:hi].copy(), csr.values[lo:hi].copy())
+
+
+def _pad_to(a: np.ndarray, shape, fill) -> np.ndarray:
+    pads = [(0, t - s) for s, t in zip(a.shape, shape)]
+    if not any(p[1] for p in pads):
+        return a
+    return np.pad(a, pads, constant_values=fill)
+
+
+def _harmonize(metas: List[PlanMeta], ts: List[dict]) -> Tuple[PlanMeta, dict]:
+    """Zero/sentinel-pad per-chip lowered plans to one shape signature and
+    stack each leaf on a leading device axis."""
+    dtype = metas[0].dtype
+    n_perm = max(m.n_perm for m in metas)
+
+    def z_vals(shape):
+        if dtype == F64:
+            return dict(hi=np.zeros(shape, np.float32),
+                        lo=np.zeros(shape, np.float32))
+        return np.zeros(shape,
+                        ml_dtypes.bfloat16 if dtype == "bf16" else np.float32)
+
+    def vals_shape(v):
+        return v["hi"].shape if isinstance(v, dict) else v.shape
+
+    def pad_vals(v, shape):
+        if isinstance(v, dict):
+            return dict(hi=_pad_to(v["hi"], shape, 0),
+                        lo=_pad_to(v["lo"], shape, 0))
+        return _pad_to(v, shape, 0)
+
+    # ---- shorts: union of strides, canonical (4, 2, 1) order ----
+    strides = tuple(s for s in (4, 2, 1)
+                    if any(s in m.strides for m in metas))
+    shorts_by_chip = []
+    for m, t in zip(metas, ts):
+        by_stride = dict(zip(m.strides, t["shorts"]))
+        shorts_by_chip.append(by_stride)
+    new_shorts: List[List[dict]] = [[] for _ in ts]
+    for s in strides:
+        t_max = max(vals_shape(c[s]["vals"])[0] if s in c else 0
+                    for c in shorts_by_chip)
+        shape = (t_max, 8, 128)
+        cap = t_max * (8 // s) * 128
+        for i, c in enumerate(shorts_by_chip):
+            if s in c:
+                e = c[s]
+                new_shorts[i].append(dict(
+                    vals=pad_vals(e["vals"], shape),
+                    cols=_pad_to(e["cols"], shape, 0),
+                    pos=_pad_to(e["pos"], (cap,), _SENTINEL)))
+            else:
+                new_shorts[i].append(dict(
+                    vals=z_vals(shape), cols=np.zeros(shape, np.int32),
+                    pos=np.full((cap,), _SENTINEL, np.int32)))
+
+    # ---- pair13 ----
+    has_p13 = any(t["pair13"] is not None for t in ts)
+    new_p13: List[Optional[dict]] = []
+    if has_p13:
+        t_max = max(vals_shape(t["pair13"]["vals"])[0]
+                    for t in ts if t["pair13"] is not None)
+        shape = (t_max, 8, 128)
+        cap = t_max * 2 * 128
+        for t in ts:
+            p = t["pair13"]
+            if p is not None:
+                new_p13.append(dict(
+                    vals=pad_vals(p["vals"], shape),
+                    cols=_pad_to(p["cols"], shape, 0),
+                    pos1=_pad_to(p["pos1"], (cap,), _SENTINEL),
+                    pos3=_pad_to(p["pos3"], (cap,), _SENTINEL)))
+            else:
+                new_p13.append(dict(
+                    vals=z_vals(shape), cols=np.zeros(shape, np.int32),
+                    pos1=np.full((cap,), _SENTINEL, np.int32),
+                    pos3=np.full((cap,), _SENTINEL, np.int32)))
+    else:
+        new_p13 = [None] * len(ts)
+
+    # ---- sell / remainder groups: match by width ----
+    def harmonize_groups(key, with_pos_key):
+        widths = sorted({vals_shape(g["vals"])[1]
+                         for t in ts for g in t[key]})
+        out: List[List[dict]] = [[] for _ in ts]
+        for w in widths:
+            s_max = max(
+                sum(vals_shape(g["vals"])[0] for g in t[key]
+                    if vals_shape(g["vals"])[1] == w) for t in ts)
+            if s_max == 0:
+                continue
+            shape = (s_max, w, 128)
+            cap = s_max * 128
+            for i, t in enumerate(ts):
+                match = [g for g in t[key] if vals_shape(g["vals"])[1] == w]
+                if match:
+                    g = match[0]
+                    out[i].append(dict(
+                        vals=pad_vals(g["vals"], shape),
+                        cols=_pad_to(g["cols"], shape, 0),
+                        pos=_pad_to(g[with_pos_key].reshape(-1), (cap,),
+                                    _SENTINEL)))
+                else:
+                    out[i].append(dict(
+                        vals=z_vals(shape), cols=np.zeros(shape, np.int32),
+                        pos=np.full((cap,), _SENTINEL, np.int32)))
+        return out
+
+    new_sell = harmonize_groups("sell", "pos")
+    new_rem = harmonize_groups("remainder", "pos")
+
+    # ---- long stream: match buckets by width 2^k ----
+    has_long = any(t["long"] is not None for t in ts)
+    new_long: List[Optional[dict]] = []
+    if has_long:
+        c_max = max(t["long"]["cols"].shape[0]
+                    for t in ts if t["long"] is not None)
+        chunk = next(t["long"]["cols"].shape[1]
+                     for t in ts if t["long"] is not None)
+        bwidths = sorted({b.shape[1] for t in ts if t["long"] is not None
+                          for b in t["long"]["buckets"]})
+        r_max = {w: max((b.shape[0]
+                         for t in ts if t["long"] is not None
+                         for b in t["long"]["buckets"] if b.shape[1] == w),
+                        default=0) for w in bwidths}
+        vshape = (c_max, chunk)
+        for t in ts:
+            lt = t["long"]
+            buckets, poss = [], []
+            for w in bwidths:
+                match = ([(b, p) for b, p in zip(lt["buckets"], lt["pos"])
+                          if b.shape[1] == w] if lt is not None else [])
+                if match:
+                    b, p = match[0]
+                    buckets.append(_pad_to(b, (r_max[w], w), _SENTINEL))
+                    poss.append(_pad_to(p, (r_max[w],), _SENTINEL))
+                else:
+                    buckets.append(np.full((r_max[w], w), _SENTINEL, np.int32))
+                    poss.append(np.full((r_max[w],), _SENTINEL, np.int32))
+            if lt is not None:
+                new_long.append(dict(vals=pad_vals(lt["vals"], vshape),
+                                     cols=_pad_to(lt["cols"], vshape, 0),
+                                     buckets=buckets, pos=poss))
+            else:
+                new_long.append(dict(vals=z_vals(vshape),
+                                     cols=np.zeros(vshape, np.int32),
+                                     buckets=buckets, pos=poss))
+    else:
+        new_long = [None] * len(ts)
+
+    rows_max = max(t["inv_perm"].shape[0] for t in ts)
+    new_ts = []
+    for i, t in enumerate(ts):
+        new_ts.append(dict(
+            shorts=new_shorts[i], pair13=new_p13[i], sell=new_sell[i],
+            remainder=new_rem[i], long=new_long[i],
+            inv_perm=_pad_to(t["inv_perm"], (rows_max,), _SENTINEL)))
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *new_ts)
+    meta = PlanMeta(dtype=dtype, strides=strides, n_perm=n_perm)
+    return meta, stacked
+
+
+class MultiChipSpMV:
+    """Row-partitioned SpMV over a 1-D mesh: y_shard = A_slab @ allgather(x).
+
+    Args:
+      csr: the full matrix.
+      devices: list of jax devices (defaults to all).
+      dtype: "f32" / "bf16" / "f64".
+    """
+
+    def __init__(self, csr: CSRMatrix, devices=None, dtype: str = "f32",
+                 config: DaspConfig = DEFAULT_CONFIG):
+        devices = devices if devices is not None else jax.devices()
+        self.n_devices = len(devices)
+        self.mesh = Mesh(np.array(devices), ("x",))
+        self.dtype = dtype
+        self.n_rows, self.n_cols = csr.n_rows, csr.n_cols
+        self.slabs = partition_rows(csr, self.n_devices)
+
+        metas, ts = [], []
+        for start, end in self.slabs:
+            plan = build_plan(slab_csr(csr, start, end), config)
+            m, t = plan_to_scatter_arrays(plan, dtype)
+            metas.append(m)
+            ts.append(t)
+        self.meta, stacked = _harmonize(metas, ts)
+        self.rows_max = stacked["inv_perm"].shape[1]
+
+        # x padded/sharded by rows of x (i.e. columns of A).
+        self.x_pad = -(-self.n_cols // self.n_devices) * self.n_devices
+
+        mesh = self.mesh
+        meta = self.meta
+
+        def step(arrays, x_sharded):
+            # x arrives row-sharded; replicate it on-chip over ICI — the
+            # only communication in the whole SpMV.
+            x_full = jax.tree.map(
+                lambda a: jax.lax.all_gather(a, "x", tiled=True), x_sharded)
+            local = jax.tree.map(lambda a: a[0], arrays)
+            y = spmv_scatter_fn(meta, local, x_full)
+            if meta.dtype == F64:
+                return jnp.stack([y["hi"], y["lo"]])[None]
+            return y[None]
+
+        self._step = jax.jit(jax.shard_map(
+            step, mesh=mesh, in_specs=(P("x"), P("x")), out_specs=P("x"),
+            check_vma=False))
+        self._arrays = jax.device_put(stacked, NamedSharding(mesh, P("x")))
+        self._x_sharding = NamedSharding(mesh, P("x"))
+
+    def _prep_x(self, x):
+        xp = np.zeros(self.x_pad, dtype=np.float64)
+        xp[:self.n_cols] = np.asarray(x)
+        if self.dtype == F64:
+            hi, lo = dd.from_f64(xp)
+            return jax.device_put(dict(hi=hi, lo=lo), self._x_sharding)
+        want = ml_dtypes.bfloat16 if self.dtype == "bf16" else np.float32
+        return jax.device_put(xp.astype(want), self._x_sharding)
+
+    def __call__(self, x) -> np.ndarray:
+        y = np.asarray(jax.device_get(self._step(self._arrays,
+                                                 self._prep_x(x))),
+                       dtype=np.float64)
+        out = np.zeros(self.n_rows, dtype=np.float64)
+        for d, (start, end) in enumerate(self.slabs):
+            part = y[d, 0] + y[d, 1] if self.dtype == F64 else y[d]
+            out[start:end] = part[:end - start]
+        return out

@@ -1,0 +1,56 @@
+"""Multi-chip row-partitioned SpMV on 8 simulated host devices."""
+
+import jax
+import numpy as np
+import pytest
+
+from dasp_tpu.parallel import MultiChipSpMV, partition_rows, slab_csr
+from dasp_tpu.sparse import mixed_categories, powerlaw_like, random_csr
+
+
+def test_partition_balanced(rng):
+    csr = powerlaw_like(1000, 1.9, 3000, rng)
+    slabs = partition_rows(csr, 8)
+    assert slabs[0][0] == 0 and slabs[-1][1] == csr.n_rows
+    for (a, b), (c, d) in zip(slabs, slabs[1:]):
+        assert b == c
+    nnzs = [int(csr.row_ptr[e] - csr.row_ptr[s]) for s, e in slabs]
+    assert sum(nnzs) == csr.nnz
+    # No slab should exceed ~2x the mean (loose balance check, long rows
+    # can't be split across slabs).
+    assert max(nnzs) <= 2.5 * csr.nnz / 8 + max(csr.row_lengths)
+
+
+def test_slab_extraction(rng):
+    csr = mixed_categories(300, rng)
+    sub = slab_csr(csr, 50, 120)
+    sub.check()
+    np.testing.assert_array_equal(sub.to_dense(), csr.to_dense()[50:120])
+
+
+@pytest.mark.parametrize("dtype", ["f32", "f64"])
+def test_multichip_matches_golden(rng, dtype):
+    assert len(jax.devices()) == 8, "conftest must provide 8 host devices"
+    csr = mixed_categories(900, rng)
+    op = MultiChipSpMV(csr, dtype=dtype)
+    assert op.n_devices == 8
+    x = rng.standard_normal(csr.n_cols)
+    y = op(x)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    # The multi-chip scatter executor adds hi/lo parts without dd
+    # renormalization, so f64 accuracy is ~f32-rounding (1e-7) instead of
+    # full dd — still 100x inside the reference's 1e-5 contract
+    # (main_f64.cu:8).
+    tol = 1e-5 if dtype == "f32" else 1e-7
+    np.testing.assert_allclose(y / scale, golden / scale, rtol=tol, atol=tol)
+
+
+def test_multichip_powerlaw(rng):
+    csr = powerlaw_like(800, 1.8, 4000, rng)
+    op = MultiChipSpMV(csr, dtype="f32")
+    x = rng.standard_normal(csr.n_cols)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(op(x) / scale, golden / scale,
+                               rtol=2e-5, atol=2e-5)
