@@ -43,6 +43,17 @@ class BCOOBaseline:
     def device_call(self, x_dev):
         return self._fn(self.mat, x_dev)
 
+    def timing_loop(self, iters: int):
+        @jax.jit
+        def loop(mat, x):
+            def body(_, x):
+                y = mat @ x
+                return x + (y.ravel()[0].astype(jnp.float32)
+                            * jnp.float32(1e-36)).astype(x.dtype)
+            x = jax.lax.fori_loop(0, iters, body, x)
+            return mat @ x
+        return lambda x_dev: loop(self.mat, x_dev)
+
     def __call__(self, x):
         return np.asarray(self.device_call(self._prep_x(x)))
 

@@ -316,3 +316,14 @@ def _remainder_scatter(alg, arrays: Dict, x, y_perm):
         r = alg.sum(alg.mul(g["vals"], xg), 1)
         y_perm = alg.scatter(y_perm, g["pos"], alg.reshape(r, (-1,)))
     return y_perm
+
+
+def perturb_x(x, y):
+    """Fold an (numerically negligible) function of y back into x so a
+    timing loop's iterations form a true data-dependence chain that XLA
+    cannot hoist or fold (the perturbation is ~1e-36 relative)."""
+    tap_src = y["hi"] if isinstance(y, dict) else y
+    tap = tap_src.ravel()[0].astype(jnp.float32) * jnp.float32(1e-36)
+    if isinstance(x, dict):
+        return dict(hi=x["hi"] + tap, lo=x["lo"])
+    return x + tap.astype(x.dtype)

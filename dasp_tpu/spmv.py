@@ -57,11 +57,12 @@ class SpMVOperator:
             from .ops import pallas_backend
             self._meta, self._arrays = pallas_backend.plan_to_arrays(
                 self.plan, dtype)
-            self._fn = jax.jit(pallas_backend.spmv_fn, static_argnums=0)
+            self._raw_fn = pallas_backend.spmv_fn
         else:
             self._meta, self._arrays = xla_backend.plan_to_arrays(
                 self.plan, dtype)
-            self._fn = jax.jit(xla_backend.spmv_fn, static_argnums=0)
+            self._raw_fn = xla_backend.spmv_fn
+        self._fn = jax.jit(self._raw_fn, static_argnums=0)
         # Packed streams live on device for the operator's lifetime
         # (the reference uploads once before its timing loop,
         # dasp_f64.h:1239-1278).
@@ -92,8 +93,25 @@ class SpMVOperator:
 
     def device_call(self, x_dev):
         """Raw jitted call: device-format x in, device-format y out
-        (hi/lo dict for f64).  Use for benchmarking loops."""
+        (hi/lo dict for f64)."""
         return self._fn(self._meta, self._arrays, x_dev)
+
+    def timing_loop(self, iters: int):
+        """A jitted function running ``iters`` chained SpMV iterations on
+        device in ONE call (the per-call dispatch overhead of a remote/TPU
+        runtime would otherwise swamp sub-ms kernels).  Returns
+        fn(x_dev) -> y_dev."""
+        raw, meta = self._raw_fn, self._meta
+
+        @jax.jit
+        def loop(arrays, x):
+            def body(_, x):
+                y = raw(meta, arrays, x)
+                return xla_backend.perturb_x(x, y)
+            x = jax.lax.fori_loop(0, iters, body, x)
+            return raw(meta, arrays, x)
+
+        return lambda x_dev: loop(self._arrays, x_dev)
 
     def __call__(self, x) -> np.ndarray:
         y = self.device_call(self._prep_x(x))

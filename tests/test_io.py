@@ -5,7 +5,7 @@ import io
 import numpy as np
 import pytest
 
-from dasp_tpu.io.mmio import MatrixMarketError, read_mtx, write_mtx
+from dasp_tpu.io.mmio import MatrixMarketError, read_mtx, write_mtx  # noqa
 from dasp_tpu.sparse import mixed_categories
 
 
@@ -101,3 +101,36 @@ def test_write_read_roundtrip(tmp_path, rng):
     write_mtx(p, csr)
     back = read_mtx(p)
     np.testing.assert_allclose(back.to_dense(), csr.to_dense(), rtol=1e-15)
+
+
+def test_native_parser_matches_python(tmp_path, rng):
+    """The C++ parser (native/mmio.cpp) must agree with the Python oracle."""
+    from dasp_tpu.io import native
+    if not native.available():
+        import pytest
+        pytest.skip("libdasp_host.so not built")
+    csr = mixed_categories(200, rng)
+    p = tmp_path / "n.mtx"
+    write_mtx(p, csr)
+    a = read_mtx(p)
+    b = native.read_mtx(p)
+    np.testing.assert_array_equal(a.row_ptr, b.row_ptr)
+    np.testing.assert_array_equal(a.col_idx, b.col_idx)
+    np.testing.assert_allclose(a.values, b.values, rtol=1e-14)
+
+
+def test_native_parser_symmetric(tmp_path):
+    from dasp_tpu.io import native
+    if not native.available():
+        import pytest
+        pytest.skip("libdasp_host.so not built")
+    p = tmp_path / "s.mtx"
+    p.write_text("""%%MatrixMarket matrix coordinate real symmetric
+3 3 3
+1 1 1.5
+2 1 -2e3
+3 3 4.25
+""")
+    a = read_mtx(p)
+    b = native.read_mtx(p)
+    np.testing.assert_array_equal(a.to_dense(), b.to_dense())
