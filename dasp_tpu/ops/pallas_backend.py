@@ -1,9 +1,347 @@
-"""Pallas executor (TPU kernels).
+"""Pallas executor: windowed-gather SpMV kernels (see wplan.py).
 
-Placeholder delegating to the XLA backend; real Mosaic kernels that stage x
-in VMEM and stream packed tiles via double-buffered DMA land here.
+Two kernels cover the whole SpMV:
+
+* **colsum** streams vreg tiles (vals, idx) from HBM with x resident in VMEM
+  as an (S,128) table; per vreg it runs the 2-stage vreg-local gather per
+  window round, multiplies, and emits per-vreg column sums.  It replaces the
+  reference's fused ``dasp_spmv2`` strategy dispatch (``dasp_f64.h:77-484``):
+  category differences live in how the plan routed slots, not in divergent
+  device code.
+* **outgather** assembles y: block b of the output is the sum of up to K
+  lane-gathered source rows of the stacked partial matrix y2 (primary
+  slice, remainder tails, long scalars).  It replaces the reference's
+  order_rid un-permutation (``dasp_f64.h:959-976``) and the irregular-tail
+  accumulation (``dasp_f64.h:184-195``) with zero scatters.
+
+Between them sit only cheap XLA reshape-sums over the (NV,128) partials.
 """
 
 from __future__ import annotations
 
-from .xla_backend import plan_to_arrays, spmv_fn  # noqa: F401
+import functools
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..wplan import (WPlan, SUB, LANES, LONG_PACK, K_SOURCES, build_wplan)
+from . import xla_backend
+
+BV = 64          # vregs per colsum grid step
+UNROLL = 8
+OB = 64          # output blocks per outgather grid step
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _make_colsum(P: int, S: int, NV: int, interpret: bool):
+    """(wins (NV,P), vals (NV*8,128), idx (NV*8,128), x2d (S,128))
+    -> per-vreg column sums (NV, 128) f32."""
+
+    def kernel(win_ref, vals_ref, idx_ref, x_ref, out_ref):
+        def body(u, _):
+            parts = []
+            for k in range(UNROLL):
+                v = u * UNROLL + k
+                idx = idx_ref[pl.ds(v * SUB, SUB), :]
+                vals = vals_ref[pl.ds(v * SUB, SUB), :]
+                lam = jax.lax.bitwise_and(idx, 127)
+                q = jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(idx, 7), 7)
+                if P == 1:
+                    w = pl.multiple_of(win_ref[v, 0], SUB)
+                    xw = x_ref[pl.ds(w, SUB), :]
+                    g = jnp.take_along_axis(xw, q, axis=0)
+                    g = jnp.take_along_axis(g, lam, axis=1)
+                else:
+                    rnd = jax.lax.shift_right_logical(idx, 10)
+                    g = None
+                    for p in range(P):
+                        w = pl.multiple_of(win_ref[v, p], SUB)
+                        xw = x_ref[pl.ds(w, SUB), :]
+                        gp = jnp.take_along_axis(xw, q, axis=0)
+                        gp = jnp.take_along_axis(gp, lam, axis=1)
+                        g = gp if g is None else jnp.where(rnd == p, gp, g)
+                prod = vals.astype(jnp.float32) * g
+                parts.append(jnp.sum(prod, axis=0, keepdims=True))
+            out_ref[pl.ds(u * UNROLL, UNROLL), :] = jnp.concatenate(parts, 0)
+            return 0
+
+        jax.lax.fori_loop(0, BV // UNROLL, body, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(NV // BV,),
+        in_specs=[
+            pl.BlockSpec((BV, P), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BV * SUB, LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BV * SUB, LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BV, LANES), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NV, LANES), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def _make_outgather(B: int, R2: int, interpret: bool):
+    """(src (B,K) SMEM, perm (K,B,128), y2 (R2,128)) -> y blocks (B,128).
+
+    out[b] = sum_k y2[src[b,k]][perm[k,b]]; unused sources point at the
+    all-zero row R2-1.  Works on (8,128) stacks because Mosaic's
+    dynamic_gather needs full-vreg operands."""
+
+    def kernel(src_ref, perm_ref, y2_ref, out_ref):
+        def body(u, _):
+            acc = None
+            for s in range(K_SOURCES):
+                rows = [y2_ref[pl.ds(src_ref[u * UNROLL + k, s], 1), :]
+                        for k in range(UNROLL)]
+                stack = jnp.concatenate(rows, 0)             # (8,128)
+                pr = perm_ref[s, pl.ds(u * UNROLL, UNROLL), :]
+                g = jnp.take_along_axis(stack, pr, axis=1)
+                acc = g if acc is None else acc + g
+            out_ref[pl.ds(u * UNROLL, UNROLL), :] = acc
+            return 0
+
+        jax.lax.fori_loop(0, OB // UNROLL, body, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // OB,),
+        in_specs=[
+            pl.BlockSpec((OB, K_SOURCES), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((K_SOURCES, OB, LANES), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R2, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((OB, LANES), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Plan lowering
+# ---------------------------------------------------------------------------
+
+
+class WMeta(NamedTuple):
+    dtype: str
+    s_rows: int
+    n_rows: int
+    n_cols: int
+    streams: Tuple[Tuple[int, int], ...]        # (P, NV_padded) per stream
+    sell_segs: Tuple[Tuple[int, int, int, int], ...]
+    # (stream, vreg_offset, n_slices, w8), ordered by out_row
+    long_groups: Tuple[Tuple[int, int], ...]    # (stream, long_idx index)
+    n_long: int
+    n_long_rows: int
+    n_y2_rows: int
+    B_pad: int
+    overflow_meta: Optional[object]
+    interpret: bool
+
+
+MAX_OVERFLOW_DEPTH = 2
+XLA_OVERFLOW_MAX = 512     # below this, the XLA gather path is cheap enough
+
+
+def plan_to_arrays(plan, dtype: str = "f32", depth: int = 0):
+    from ..sparse import CSRMatrix
+    if isinstance(plan, CSRMatrix):
+        plan = build_wplan(plan)
+    if dtype not in ("f32", "bf16"):
+        raise ValueError("pallas backend supports f32/bf16")
+    import ml_dtypes
+    vdt = ml_dtypes.bfloat16 if dtype == "bf16" else np.float32
+
+    arrays: Dict = {"streams": [], "long_idx": []}
+    stream_shapes = []
+    for s in plan.streams:
+        nv = s.n_vregs
+        nv_pad = -(-max(nv, 1) // BV) * BV
+        vals = np.zeros((nv_pad * SUB, LANES), dtype=vdt)
+        idx = np.zeros((nv_pad * SUB, LANES), dtype=np.int32)
+        wins = np.zeros((nv_pad, s.P), dtype=np.int32)
+        vals[:nv * SUB] = s.vals.astype(vdt)
+        idx[:nv * SUB] = s.idx
+        wins[:nv] = s.wins
+        arrays["streams"].append(dict(vals=vals, idx=idx, wins=wins))
+        stream_shapes.append((s.P, nv_pad))
+
+    sell_segs = tuple((g.stream, g.vreg_offset, g.n_slices, g.w8)
+                      for g in plan.sell)
+    long_groups = []
+    spos_all = []
+    for li, lg in enumerate(plan.longs):
+        arrays["long_idx"].append(lg.idx)
+        long_groups.append((lg.stream, li))
+        spos_all.append(lg.scalar_pos)
+    if spos_all:
+        concat_pos = np.concatenate(spos_all)
+        inv = np.zeros(plan.n_long, dtype=np.int64)
+        inv[concat_pos] = np.arange(concat_pos.size)
+        arrays["long_inv"] = inv.astype(np.int32)
+    else:
+        arrays["long_inv"] = np.zeros(0, dtype=np.int32)
+
+    B = plan.out_src.shape[0]
+    B_pad = -(-B // OB) * OB
+    Z_final = plan.n_y2_rows                     # zero row index in y2
+    src = np.full((B_pad, K_SOURCES), Z_final, dtype=np.int32)
+    src[:B] = plan.out_src
+    # k-major perm layout (K, B_pad, 128) for contiguous per-step reads
+    perm = np.zeros((K_SOURCES, B_pad, LANES), dtype=np.int32)
+    perm[:, :B] = plan.out_perm.reshape(B, K_SOURCES, LANES).transpose(
+        1, 0, 2)
+    arrays["out_src"] = src
+    arrays["out_perm"] = perm
+
+    # Overflow handling: conflict rejects usually route fine in a second,
+    # sparser windowed pass (same x table); only the dregs of the final
+    # level fall back to the XLA gather executor.
+    overflow_meta = None
+    arrays["overflow"] = None
+    arrays["overflow_w"] = None
+    if plan.overflow is not None:
+        if depth < MAX_OVERFLOW_DEPTH and \
+                plan.overflow.nnz > XLA_OVERFLOW_MAX:
+            sub_plan = build_wplan(plan.overflow, plan.config)
+            if sub_plan.census["n_overflow"] < plan.overflow.nnz:
+                overflow_meta, arrays["overflow_w"] = plan_to_arrays(
+                    sub_plan, "f32", depth=depth + 1)
+        if arrays["overflow_w"] is None:
+            from ..plan import build_plan
+            oplan = build_plan(plan.overflow, plan.config)
+            overflow_meta, arrays["overflow"] = xla_backend.plan_to_arrays(
+                oplan, "f32")
+
+    n_long_rows = -(-plan.n_long // LONG_PACK) if plan.n_long else 0
+    meta = WMeta(dtype=dtype, s_rows=plan.s_rows, n_rows=plan.n_rows,
+                 n_cols=plan.n_cols, streams=tuple(stream_shapes),
+                 sell_segs=sell_segs, long_groups=tuple(long_groups),
+                 n_long=plan.n_long, n_long_rows=n_long_rows,
+                 n_y2_rows=plan.n_y2_rows, B_pad=B_pad,
+                 overflow_meta=overflow_meta, interpret=not _on_tpu())
+    return meta, arrays
+
+
+def prep_x(meta: WMeta, x: np.ndarray) -> np.ndarray:
+    """Host-side: pad x to the (s_rows,128) table shape."""
+    xp = np.zeros(meta.s_rows * LANES, dtype=np.float32)
+    xp[:meta.n_cols] = np.asarray(x, dtype=np.float32)[:meta.n_cols]
+    return xp.reshape(meta.s_rows, LANES)
+
+
+def spmv_fn(meta: WMeta, arrays: Dict, x2d):
+    """Jittable windowed SpMV: x2d (s_rows,128) f32 -> y (n_rows,) f32."""
+    partials = []
+    for (P, NV), st in zip(meta.streams, arrays["streams"]):
+        call = _make_colsum(P, meta.s_rows, NV, meta.interpret)
+        partials.append(call(st["wins"], st["vals"], st["idx"], x2d))
+
+    y2_parts = []
+    for stream, off, n_slices, w8 in meta.sell_segs:
+        p = partials[stream][off:off + n_slices * w8]
+        y2_parts.append(p.reshape(n_slices, w8, LANES).sum(1))
+
+    if meta.n_long:
+        vreg_totals = [None] * len(meta.streams)
+        souts = []
+        for stream, li in meta.long_groups:
+            if vreg_totals[stream] is None:
+                t = partials[stream].sum(axis=1)
+                vreg_totals[stream] = jnp.concatenate(
+                    [t, jnp.zeros(1, t.dtype)])
+            idxm = arrays["long_idx"][li]
+            souts.append(jnp.take(vreg_totals[stream], idxm,
+                                  mode="clip").sum(axis=1))
+        scalars = jnp.concatenate(souts)[arrays["long_inv"]]
+        pad = meta.n_long_rows * LONG_PACK - meta.n_long
+        scalars = jnp.concatenate([scalars, jnp.zeros(pad, jnp.float32)])
+        srows = scalars.reshape(meta.n_long_rows, LONG_PACK)
+        srows = jnp.concatenate(
+            [srows, jnp.zeros((meta.n_long_rows, 1), jnp.float32)], axis=1)
+        y2_parts.append(srows)
+
+    y2_parts.append(jnp.zeros((1, LANES), jnp.float32))      # zero row
+    y2 = jnp.concatenate(y2_parts, axis=0)
+
+    out = _make_outgather(meta.B_pad, y2.shape[0], meta.interpret)(
+        arrays["out_src"], arrays["out_perm"], y2)
+    y = out.reshape(-1)[:meta.n_rows]
+
+    if arrays.get("overflow_w") is not None:
+        y = y + spmv_fn(meta.overflow_meta, arrays["overflow_w"], x2d)
+    elif arrays["overflow"] is not None:
+        xflat = x2d.reshape(-1)[:meta.n_cols]
+        y = y + xla_backend.spmv_fn(meta.overflow_meta, arrays["overflow"],
+                                    xflat)
+    if meta.dtype == "bf16":
+        return y.astype(jnp.bfloat16)
+    return y
+
+
+class PallasSpMV:
+    """Operator wrapper with the same interface as the XLA path."""
+
+    def __init__(self, csr, dtype: str = "f32", config=None):
+        import time
+        from ..config import DEFAULT_CONFIG
+        t0 = time.perf_counter()
+        self.plan = build_wplan(csr, config or DEFAULT_CONFIG)
+        self.dtype = dtype
+        self._meta, arrays = plan_to_arrays(self.plan, dtype)
+        self._arrays = jax.device_put(arrays)
+        self._fn = jax.jit(spmv_fn, static_argnums=0)
+        self.preprocess_seconds = time.perf_counter() - t0
+
+    n_rows = property(lambda self: self.plan.n_rows)
+    n_cols = property(lambda self: self.plan.n_cols)
+    nnz = property(lambda self: self.plan.nnz)
+    backend = "pallas"
+
+    def _prep_x(self, x):
+        return jnp.asarray(prep_x(self._meta, x))
+
+    def device_call(self, x_dev):
+        return self._fn(self._meta, self._arrays, x_dev)
+
+    def timing_loop(self, iters: int):
+        meta = self._meta
+
+        @jax.jit
+        def loop(arrays, x2d):
+            def body(_, x2d):
+                y = spmv_fn(meta, arrays, x2d)
+                return x2d + y[0].astype(jnp.float32) * jnp.float32(1e-36)
+            x2d = jax.lax.fori_loop(0, iters, body, x2d)
+            return spmv_fn(meta, arrays, x2d)
+
+        return lambda x_dev: loop(self._arrays, x_dev)
+
+    def __call__(self, x):
+        return np.asarray(self.device_call(self._prep_x(x)))

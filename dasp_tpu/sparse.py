@@ -141,11 +141,32 @@ def fem_like(n: int, band: int, rng: np.random.Generator,
 
 
 def powerlaw_like(n: int, alpha: float, max_len: int,
-                  rng: np.random.Generator, dtype=np.float64) -> CSRMatrix:
+                  rng: np.random.Generator, dtype=np.float64,
+                  col_alpha: float = 0.0) -> CSRMatrix:
     """Power-law (Zipf) row-length distribution: many 1-4 nnz rows plus a few
-    very long rows — exercises the short AND long strategies."""
+    very long rows — exercises the short AND long strategies.
+
+    ``col_alpha > 0`` additionally draws *columns* from a Zipf-like
+    popularity distribution (scaled to [0, n)), matching real web/social
+    graphs where in-degree is power-law too (wiki-Talk, soc-LiveJournal1);
+    0 keeps uniform columns (adversarial worst case for locality).
+    """
     lengths = np.minimum(rng.zipf(alpha, size=n), max_len)
-    return random_csr(n, n, lengths, rng, dtype=dtype)
+    if col_alpha <= 0:
+        return random_csr(n, n, lengths, rng, dtype=dtype)
+    lengths = np.minimum(np.asarray(lengths, dtype=np.int64), n)
+    nnz = int(lengths.sum())
+    row_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=row_ptr[1:])
+    # ranks ~ Zipf: column id = popularity rank, i.e. a degree-sorted
+    # labeling (SNAP/LAW graph dumps are commonly published this way).
+    col_idx = (np.minimum(rng.zipf(col_alpha, size=nnz), n) - 1).astype(
+        np.int32)
+    rows = np.repeat(np.arange(n), lengths)
+    order = np.lexsort((col_idx, rows))
+    col_idx = col_idx[order]
+    values = rng.standard_normal(nnz).astype(dtype)
+    return CSRMatrix(n, n, row_ptr, col_idx, values)
 
 
 def mixed_categories(n: int, rng: np.random.Generator,

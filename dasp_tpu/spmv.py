@@ -29,6 +29,13 @@ DTYPES = (F32, BF16, F64)
 _BACKENDS = ("xla", "pallas", "auto")
 
 
+def _tpu_available() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 class SpMVOperator:
     """Packed SpMV for one matrix: ``y = op(x)``.
 
@@ -39,6 +46,15 @@ class SpMVOperator:
       config: packing tunables.
       backend: "xla", "pallas", or "auto" (pallas where supported).
     """
+
+    def __new__(cls, csr, dtype: str = F32,
+                config: DaspConfig = DEFAULT_CONFIG, backend: str = "auto"):
+        if backend == "pallas" or (
+                backend == "auto" and dtype in (F32, BF16)
+                and isinstance(csr, CSRMatrix) and _tpu_available()):
+            from .ops.pallas_backend import PallasSpMV
+            return PallasSpMV(csr, dtype, config)
+        return super().__new__(cls)
 
     def __init__(self, csr: Union[CSRMatrix, DaspPlan], dtype: str = F32,
                  config: DaspConfig = DEFAULT_CONFIG, backend: str = "auto"):
@@ -53,15 +69,11 @@ class SpMVOperator:
             self.plan = build_plan(csr, config)
         self.dtype = dtype
         self.backend = backend
-        if backend in ("pallas", "auto"):
-            from .ops import pallas_backend
-            self._meta, self._arrays = pallas_backend.plan_to_arrays(
-                self.plan, dtype)
-            self._raw_fn = pallas_backend.spmv_fn
-        else:
-            self._meta, self._arrays = xla_backend.plan_to_arrays(
-                self.plan, dtype)
-            self._raw_fn = xla_backend.spmv_fn
+        # (the windowed Pallas implementation is dispatched in __new__;
+        # reaching here means the XLA executor)
+        self._meta, self._arrays = xla_backend.plan_to_arrays(
+            self.plan, dtype)
+        self._raw_fn = xla_backend.spmv_fn
         self._fn = jax.jit(self._raw_fn, static_argnums=0)
         # Packed streams live on device for the operator's lifetime
         # (the reference uploads once before its timing loop,

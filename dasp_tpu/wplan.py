@@ -1,0 +1,521 @@
+"""Windowed pack plan (WPlan): the Pallas-native matrix format.
+
+This is the TPU-native analog of the reference's packed-fragment formats
+(``dasp_f64.h:595-1157``), redesigned around what the TPU vector unit does
+fast (measured, tools/gather_bench.py):
+
+  * lane-gather (``take_along_axis(.., axis=1)``) runs at copy speed;
+  * sublane-gather is vreg-local (8 rows max);
+  * an (8,128) window of x loads from VMEM with one dynamic slice.
+
+Every nonzero is packed into a slot of an (8,128) **vreg tile** whose values
+are fetched from x by a two-stage vreg-local shuffle.  With ``idx`` the
+tile's int32 metadata and ``xw_p = x2d[w_p : w_p+8]`` one of the vreg's P
+1024-aligned *windows*::
+
+    r   = (idx >> 7) & 7        # routing table, indexed (sublane, lam)
+    lam = idx & 127             # per-slot lane-gather index
+    rnd = idx >> 10             # per-slot window (round) id
+    g1[i,j] = xw_p[r[i,j], j]
+    g2[i,j] = g1[i, lam[i,j]]   # slot (i,j) reads xw_p[r[i,lam], lam]
+
+The packer *routes* each element: it picks a slot (i, j) and claims the
+shared routing cell ``r[i, lam]``; two elements may share a cell only if
+they read the same x word (a free broadcast).  Windows are 1024-aligned so
+a source's sublane coordinate ``q_rel = (col//128) % 8`` is
+window-independent and the routing table is shared across rounds.
+
+**Block-aligned output layout.**  Slice b holds exactly the original rows
+[128b, 128b+128) (length-sorted *within* the block — the reference sorts
+rows globally, ``dasp_f64.h:914``; here the sort must stay block-local so
+both the window gather and the un-permutation stay cheap).  Per-block
+output assembly is then a tiny gather kernel: block b of y is the sum of up
+to K lane-gathered source rows of the stacked partial-output matrix y2
+(primary slice row, remainder-tail row, and the long-scalar rows), which
+replaces the reference's order_rid un-permutation (``dasp_f64.h:959-976``)
+without any element scatter.
+
+Row families (same taxonomy as the reference's analyzer,
+``dasp_f64.h:499-531``, unified):
+  * rows < block_longest nnz  -> SELL slice of their block, adaptive
+    quantized width W8 (the adaptive row-block width of
+    ``dasp_f64.h:1052-1083``); tails spill to a per-block remainder slice
+    (the irregular tail of ``dasp_f64.h:1077-1106``) summed in via the
+    output kernel.  Narrow slices subsume the short-row strategies.
+  * rows >= block_longest nnz -> long rows: column-sorted elements dealt so
+    a sublane row holds 128 consecutive nonzeros; reduction sums every slot
+    of the row's vregs (fusing away ``longPart_sum``, ``dasp_f64.h:53-75``).
+
+Unroutable elements (window budget or routing-cell conflicts) overflow to a
+COO list executed by the XLA backend and added into y.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .config import DaspConfig, DEFAULT_CONFIG
+from .sparse import CSRMatrix, from_coo
+
+LANES = 128
+SUB = 8
+VREG = 1024
+LONG_PACK = 127          # long scalars per y2 row (lane 127 stays zero)
+
+W8_CLASSES = (1, 2, 4, 8, 16, 32)
+P_CLASSES = (1, 2, 4, 8, 16, 32, 64)
+K_SOURCES = 4            # output-gather sources per block
+
+
+@dataclasses.dataclass
+class WStream:
+    """One Pallas launch: all vregs sharing a round-class P."""
+    P: int
+    vals: np.ndarray          # (NV*8, 128) float64 (cast at lowering)
+    idx: np.ndarray           # (NV*8, 128) int32
+    wins: np.ndarray          # (NV, P) int32 row offsets into x2d (mult 8)
+
+    @property
+    def n_vregs(self) -> int:
+        return self.wins.shape[0]
+
+
+@dataclasses.dataclass
+class SellSegment:
+    """Contiguous run of equal-width slices inside one stream's partials."""
+    stream: int
+    vreg_offset: int
+    n_slices: int
+    w8: int
+    out_row: int              # first y2 row produced by this segment
+
+
+@dataclasses.dataclass
+class LongGroup:
+    """Long rows in one stream sharing a padded vreg-count class; reduced by
+    gathering per-vreg totals through a static index matrix."""
+    stream: int
+    idx: np.ndarray           # (R, nv_c) int32 vreg ids (pad = NV of stream)
+    scalar_pos: np.ndarray    # (R,) positions in the row-ordered scalar list
+
+
+@dataclasses.dataclass
+class WPlan:
+    n_rows: int
+    n_cols: int
+    nnz: int
+    config: DaspConfig
+    s_rows: int               # x2d rows (multiple of 8)
+    streams: List[WStream]
+    sell: List[SellSegment]
+    longs: List[LongGroup]
+    n_long: int
+    # Output assembly (see pallas_backend.unperm kernel):
+    out_src: np.ndarray       # (B, K) int32 y2 source rows (Z = zero row)
+    out_perm: np.ndarray      # (B*K, 128) int32 lane indices
+    n_y2_rows: int            # rows of y2 incl. long rows, excl. zero row
+    overflow: Optional[CSRMatrix]
+    census: Dict[str, int]
+    stats: Dict[str, float]
+
+
+# ---------------------------------------------------------------------------
+# Vreg routing
+# ---------------------------------------------------------------------------
+
+
+def _route_vreg(lane: np.ndarray, ipref: np.ndarray, col: np.ndarray,
+                val: np.ndarray, p_cap: int):
+    """Route one vreg's elements into slots.  Returns (vals_tile, idx_tile,
+    win_list, overflow_mask)."""
+    n = lane.size
+    w = (col // VREG) * SUB
+    q_rel = (col // LANES) % SUB
+    lam = col % LANES
+    src_row = col // LANES
+
+    uw, counts = np.unique(w, return_counts=True)
+    overflow = np.zeros(n, dtype=bool)
+    if uw.size > p_cap:
+        keep = uw[np.argsort(-counts, kind="stable")[:p_cap]]
+        overflow = ~np.isin(w, keep)
+    win_list = np.unique(w[~overflow]) if (~overflow).any() else \
+        np.empty(0, dtype=np.int64)
+    win_of = {int(ww): p for p, ww in enumerate(win_list)}
+
+    slot_i = np.full(n, -1, dtype=np.int64)
+    cell_owner = np.full((SUB, LANES), -1, dtype=np.int64)
+    lane_used = np.zeros((SUB, LANES), dtype=bool)
+
+    todo = np.flatnonzero(~overflow)
+    attempt = ipref.astype(np.int64).copy()
+    for _ in range(SUB):
+        if todo.size == 0:
+            break
+        i_t = attempt[todo] % SUB
+        cell = cell_owner[i_t, lam[todo]]
+        ok = (~lane_used[i_t, lane[todo]]) & \
+             ((cell == -1) | (cell == src_row[todo]))
+        if ok.any():
+            cand = todo[ok]
+            ci, cl, cm, ck = i_t[ok], lane[cand], lam[cand], src_row[cand]
+            sk1 = ci * LANES + cl
+            _, fidx = np.unique(sk1, return_index=True)
+            first1 = np.zeros(cand.size, dtype=bool)
+            first1[fidx] = True
+            sk2 = ci * LANES + cm
+            o2 = np.argsort(sk2, kind="stable")
+            sk2s, ks = sk2[o2], ck[o2]
+            grp_start = np.r_[True, sk2s[1:] != sk2s[:-1]]
+            head_idx = np.maximum.accumulate(
+                np.where(grp_start, np.arange(ks.size), 0))
+            ok2 = np.zeros(cand.size, dtype=bool)
+            ok2[o2] = ks == ks[head_idx]
+            acc = first1 & ok2
+            acc_idx = cand[acc]
+            ai, al, am = ci[acc], cl[acc], cm[acc]
+            slot_i[acc_idx] = ai
+            lane_used[ai, al] = True
+            cell_owner[ai, am] = ck[acc]
+            keepmask = np.ones(todo.size, dtype=bool)
+            keepmask[np.flatnonzero(ok)[acc]] = False
+            todo = todo[keepmask]
+        attempt[todo] += 1
+    overflow[todo] = True
+
+    placed = slot_i >= 0
+    vals_tile = np.zeros((SUB, LANES))
+    idx_tile = np.zeros((SUB, LANES), dtype=np.int64)
+    if placed.any():
+        rounds = np.array([win_of[int(ww)] for ww in w[placed]],
+                          dtype=np.int64)
+        si, sj = slot_i[placed], lane[placed]
+        vals_tile[si, sj] = val[placed]
+        idx_tile[si, sj] = (rounds << 10) | lam[placed]
+        r_mat = np.zeros((SUB, LANES), dtype=np.int64)
+        r_mat[si, lam[placed]] = q_rel[placed]
+        idx_tile |= r_mat << 7
+    return vals_tile, idx_tile, win_list, overflow
+
+
+# ---------------------------------------------------------------------------
+# Builder
+# ---------------------------------------------------------------------------
+
+
+class _Packet:
+    __slots__ = ("kind", "w8", "cls", "tiles", "block")
+
+    def __init__(self, kind, w8, cls, tiles, block):
+        self.kind = kind      # 'sell' | 'rem' | 'long'
+        self.w8 = w8
+        self.cls = cls
+        self.tiles = tiles
+        self.block = block    # block id for sell/rem; row id for long
+
+
+def _p_class(p_used: int, p_cap: int) -> int:
+    for c in P_CLASSES:
+        if p_used <= c:
+            return min(c, p_cap)
+    return p_cap
+
+
+def _choose_w8(slens: np.ndarray, threshold: float) -> int:
+    w8 = W8_CLASSES[0]
+    for c in W8_CLASSES:
+        occ = np.minimum(slens, SUB * c).sum() / (LANES * SUB * c)
+        if occ >= threshold:
+            w8 = c
+    return w8
+
+
+def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
+                p_cap: int = 64) -> WPlan:
+    csr.check()
+    n = csr.n_rows
+    lens = csr.row_lengths.astype(np.int64)
+    rpt = csr.row_ptr.astype(np.int64)
+    cols_all = csr.col_idx.astype(np.int64)
+    vals_all = csr.values.astype(np.float64)
+
+    B = max(1, -(-n // LANES))
+    is_long = lens >= config.block_longest
+
+    packets: List[_Packet] = []
+    ovf_r: List[np.ndarray] = []
+    ovf_c: List[np.ndarray] = []
+    ovf_v: List[np.ndarray] = []
+
+    def route_packet(kind, base, slen, w8, block, ovf_rows):
+        """Route one 128-lane slice; lanes with slen=0 are pads."""
+        tiles = []
+        p_used = 1
+        for v in range(w8):
+            lo = v * SUB
+            take = np.clip(slen - lo, 0, SUB)
+            tot = int(take.sum())
+            if tot == 0:
+                tiles.append((np.zeros((SUB, LANES)),
+                              np.zeros((SUB, LANES), dtype=np.int64),
+                              np.empty(0, dtype=np.int64)))
+                continue
+            lanes_v = np.repeat(np.arange(LANES), take)
+            iprefs = np.concatenate([np.arange(t) for t in take])
+            elem = np.repeat(base + lo, take) + iprefs
+            colv, valv = cols_all[elem], vals_all[elem]
+            vt, it, wl, om = _route_vreg(lanes_v, iprefs, colv, valv, p_cap)
+            if om.any():
+                ovf_r.append(ovf_rows[lanes_v[om]])
+                ovf_c.append(colv[om])
+                ovf_v.append(valv[om])
+            p_used = max(p_used, wl.size)
+            tiles.append((vt, it, wl))
+        packets.append(_Packet(kind, w8, _p_class(p_used, p_cap), tiles,
+                               block))
+
+    # ---- per-block SELL slices + per-block remainder tails --------------
+    # lane assignment per block: sell rows length-desc, pads last.
+    block_lane_of_row = np.full(n, -1, dtype=np.int64)     # lane in slice b
+    block_pad_lane = np.full(B, -1, dtype=np.int64)        # a zero lane
+    rem_lane_of_row = np.full(n, -1, dtype=np.int64)
+    rem_block_list: List[int] = []                          # blocks w/ tails
+
+    spills_by_block: Dict[int, List[Tuple[int, int, int]]] = {}
+    for b in range(B):
+        rows = np.arange(b * LANES, min((b + 1) * LANES, n))
+        sell = rows[~is_long[rows] & (lens[rows] > 0)]
+        order = np.argsort(-lens[sell], kind="stable")
+        sell = sell[order]
+        lane_rows = np.full(LANES, -1, dtype=np.int64)
+        lane_rows[:sell.size] = sell
+        block_lane_of_row[sell] = np.arange(sell.size)
+        if sell.size < LANES:
+            block_pad_lane[b] = sell.size
+        slen = np.where(lane_rows >= 0, lens[np.maximum(lane_rows, 0)], 0)
+        base = np.where(lane_rows >= 0, rpt[np.maximum(lane_rows, 0)], 0)
+        w8 = _choose_w8(slen, config.threshold)
+        over = slen > SUB * w8
+        if over.any():
+            lst = spills_by_block.setdefault(b, [])
+            for j in np.flatnonzero(over):
+                lst.append((int(lane_rows[j]), int(base[j] + SUB * w8),
+                            int(slen[j] - SUB * w8)))
+        route_packet("sell", base, np.minimum(slen, SUB * w8), w8, b,
+                     lane_rows)
+
+    rem_pad_lane = np.full(B, -1, dtype=np.int64)
+    for b, lst in sorted(spills_by_block.items()):
+        lst.sort(key=lambda t: -t[2])
+        r_rows = np.array([t[0] for t in lst], dtype=np.int64)
+        r_base = np.array([t[1] for t in lst], dtype=np.int64)
+        r_len = np.array([t[2] for t in lst], dtype=np.int64)
+        lane_rows = np.full(LANES, -1, dtype=np.int64)
+        lane_rows[:r_rows.size] = r_rows
+        rem_lane_of_row[r_rows] = np.arange(r_rows.size)
+        if r_rows.size < LANES:
+            rem_pad_lane[b] = r_rows.size
+        slen = np.zeros(LANES, dtype=np.int64)
+        base = np.zeros(LANES, dtype=np.int64)
+        slen[:r_len.size] = r_len
+        base[:r_base.size] = r_base
+        w8 = _choose_w8(slen, config.threshold)
+        while SUB * w8 < slen.max() and w8 != W8_CLASSES[-1]:
+            w8 = W8_CLASSES[W8_CLASSES.index(w8) + 1]
+        if slen.max() > SUB * w8:     # tail longer than widest class:
+            over = slen > SUB * w8    # re-spill to overflow COO
+            for j in np.flatnonzero(over):
+                ln_o = int(slen[j] - SUB * w8)
+                st = int(base[j] + SUB * w8)
+                ovf_r.append(np.full(ln_o, lane_rows[j]))
+                ovf_c.append(cols_all[st:st + ln_o])
+                ovf_v.append(vals_all[st:st + ln_o])
+            slen = np.minimum(slen, SUB * w8)
+        route_packet("rem", base, np.minimum(slen, SUB * w8), w8, b,
+                     lane_rows)
+        rem_block_list.append(b)
+
+    # ---- long rows (original row order -> scalar order) -----------------
+    long_rows = np.flatnonzero(is_long)
+    scalar_pos_of_row = {int(r): i for i, r in enumerate(long_rows)}
+    for row in long_rows:
+        base, ln = int(rpt[row]), int(lens[row])
+        colv = cols_all[base:base + ln]
+        o = np.argsort(colv, kind="stable")
+        colv, valv = colv[o], vals_all[base:base + ln][o]
+        L = -(-ln // LANES)
+        nv = -(-L // SUB)
+        t = np.arange(ln)
+        g, lane = t // LANES, t % LANES
+        tiles = []
+        p_used = 1
+        for v in range(nv):
+            sel = (g // SUB) == v
+            vt, it, wl, om = _route_vreg(lane[sel], g[sel] % SUB,
+                                         colv[sel], valv[sel], p_cap)
+            if om.any():
+                ovf_r.append(np.full(int(om.sum()), row))
+                ovf_c.append(colv[sel][om])
+                ovf_v.append(valv[sel][om])
+            p_used = max(p_used, wl.size)
+            tiles.append((vt, it, wl))
+        packets.append(_Packet("long", nv, _p_class(p_used, p_cap), tiles,
+                               int(row)))
+
+    # ---- assembly --------------------------------------------------------
+    cls_list = sorted({p.cls for p in packets})
+    streams: List[WStream] = []
+    sell_segments: List[SellSegment] = []
+    long_groups: List[LongGroup] = []
+    stream_idx: Dict[int, int] = {}
+    y2_row_of_block = np.full(B, -1, dtype=np.int64)   # primary slice row
+    y2_row_of_rem = np.full(B, -1, dtype=np.int64)
+    out_row = 0
+
+    for cls in cls_list:
+        stream_idx[cls] = len(streams)
+        mine = [p for p in packets if p.cls == cls]
+        kind_rank = {"sell": 0, "rem": 1, "long": 2}
+        mine.sort(key=lambda p: (kind_rank[p.kind], p.w8, p.block))
+        vals_parts, idx_parts, win_parts = [], [], []
+        vreg_cursor = 0
+        i = 0
+        while i < len(mine) and mine[i].kind != "long":
+            j = i
+            while (j < len(mine) and mine[j].kind == mine[i].kind
+                   and mine[j].w8 == mine[i].w8):
+                j += 1
+            run = mine[i:j]
+            sell_segments.append(SellSegment(
+                stream=stream_idx[cls], vreg_offset=vreg_cursor,
+                n_slices=len(run), w8=run[0].w8, out_row=out_row))
+            for p in run:
+                for vt, it, wl in p.tiles:
+                    vals_parts.append(vt)
+                    idx_parts.append(it)
+                    win_parts.append(wl)
+                if p.kind == "sell":
+                    y2_row_of_block[p.block] = out_row
+                else:
+                    y2_row_of_rem[p.block] = out_row
+                out_row += 1
+                vreg_cursor += p.w8
+            i = j
+        long_here = [p for p in mine if p.kind == "long"]
+        by_nvc: Dict[int, List[Tuple[_Packet, int]]] = {}
+        for p in long_here:
+            start = vreg_cursor
+            for vt, it, wl in p.tiles:
+                vals_parts.append(vt)
+                idx_parts.append(it)
+                win_parts.append(wl)
+            vreg_cursor += p.w8
+            nv_c = 1 << int(np.ceil(np.log2(max(p.w8, 1))))
+            by_nvc.setdefault(nv_c, []).append((p, start))
+        nv_total = vreg_cursor
+        for nv_c in sorted(by_nvc):
+            plist = by_nvc[nv_c]
+            idxm = np.full((len(plist), nv_c), nv_total, dtype=np.int64)
+            spos = np.zeros(len(plist), dtype=np.int64)
+            for k, (p, st) in enumerate(plist):
+                idxm[k, :p.w8] = np.arange(st, st + p.w8)
+                spos[k] = scalar_pos_of_row[p.block]
+            long_groups.append(LongGroup(
+                stream=stream_idx[cls], idx=idxm.astype(np.int32),
+                scalar_pos=spos))
+
+        nv = len(win_parts)
+        if nv == 0:
+            continue
+        vals = np.stack(vals_parts).reshape(nv * SUB, LANES)
+        idx = np.stack(idx_parts).reshape(nv * SUB, LANES)
+        wins = np.zeros((nv, cls), dtype=np.int64)
+        for k, wl in enumerate(win_parts):
+            wins[k, :wl.size] = wl
+        streams.append(WStream(P=cls, vals=vals, idx=idx.astype(np.int32),
+                               wins=wins.astype(np.int32)))
+
+    # long scalar rows appended to y2 after the slice rows
+    n_long = long_rows.size
+    n_long_rows = -(-n_long // LONG_PACK) if n_long else 0
+    long_row_base = out_row
+    n_y2_rows = out_row + n_long_rows
+    Z = n_y2_rows                                   # the all-zero row
+
+    # ---- output-gather tables -------------------------------------------
+    out_src = np.full((B, K_SOURCES), Z, dtype=np.int64)
+    out_perm = np.zeros((B, K_SOURCES, LANES), dtype=np.int64)
+    for b in range(B):
+        rows = np.arange(b * LANES, min((b + 1) * LANES, n))
+        nlanes = rows.size
+        # k=0: primary slice
+        out_src[b, 0] = y2_row_of_block[b]
+        lanes0 = block_lane_of_row[rows]
+        pad0 = block_pad_lane[b]
+        out_perm[b, 0, :nlanes] = np.where(lanes0 >= 0, lanes0,
+                                           max(pad0, 0))
+        if (lanes0 < 0).any() and pad0 < 0:
+            # no pad lane but non-sell rows exist: impossible (non-sell
+            # rows create pads); guard anyway
+            out_src[b, 0] = Z if nlanes == 0 else out_src[b, 0]
+        # k=1: remainder slice
+        if y2_row_of_rem[b] >= 0:
+            out_src[b, 1] = y2_row_of_rem[b]
+            lanes1 = rem_lane_of_row[rows]
+            out_perm[b, 1, :nlanes] = np.where(
+                lanes1 >= 0, lanes1, max(rem_pad_lane[b], 0))
+        # k=2,3: long scalars (contiguous in row order within the block)
+        lmask = is_long[rows]
+        if lmask.any():
+            lrows = rows[lmask]
+            pos = np.array([scalar_pos_of_row[int(r)] for r in lrows])
+            src_rows = long_row_base + pos // LONG_PACK
+            lanes_l = pos % LONG_PACK
+            uniq = np.unique(src_rows)
+            if uniq.size > 2:
+                raise AssertionError(
+                    "long rows of one block span >2 scalar rows")
+            for kk, sr in enumerate(uniq):
+                k = 2 + kk
+                out_src[b, k] = sr
+                sel = src_rows == sr
+                out_perm[b, k, :] = LANES - 1          # zero lane
+                out_perm[b, k, np.flatnonzero(lmask)[sel]] = lanes_l[sel]
+        # unused k sources keep Z with perm 0 (Z is all zeros)
+
+    overflow = None
+    if ovf_r:
+        orows = np.concatenate(ovf_r)
+        overflow = from_coo(csr.n_rows, csr.n_cols, orows,
+                            np.concatenate(ovf_c).astype(np.int32),
+                            np.concatenate(ovf_v))
+
+    padded = sum(s.vals.size for s in streams)
+    census = {
+        "row_long": int(long_rows.size),
+        "row_block": int(np.sum(~is_long & (lens > 0))),
+        "row_zero": int(np.sum(lens == 0)),
+        "n_overflow": int(orows.size) if ovf_r else 0,
+        "short_row_1": int(np.sum(lens == 1)),
+        "short_row_2": int(np.sum(lens == 2)),
+        "short_row_3": int(np.sum(lens == 3)),
+        "short_row_4": int(np.sum(lens == 4)),
+    }
+    stats = {
+        "fill0_nnz_total": float(padded),
+        "rate_fill0": float((padded - csr.nnz) / csr.nnz) if csr.nnz else 0.0,
+        "overflow_frac": float(census["n_overflow"] / csr.nnz)
+        if csr.nnz else 0.0,
+    }
+    return WPlan(
+        n_rows=n, n_cols=csr.n_cols, nnz=csr.nnz, config=config,
+        s_rows=(-(-max(csr.n_cols, 1) // VREG)) * SUB,
+        streams=streams, sell=sell_segments, longs=long_groups,
+        n_long=int(n_long),
+        out_src=out_src.astype(np.int32),
+        out_perm=out_perm.reshape(B * K_SOURCES, LANES).astype(np.int32),
+        n_y2_rows=int(n_y2_rows), overflow=overflow,
+        census=census, stats=stats)

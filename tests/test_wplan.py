@@ -1,0 +1,122 @@
+"""Windowed plan (wplan) + Pallas backend tests, on CPU in interpret mode."""
+
+import numpy as np
+import pytest
+
+from dasp_tpu.sparse import (CSRMatrix, fem_like, mixed_categories,
+                             powerlaw_like, random_csr)
+from dasp_tpu.wplan import build_wplan, SUB, LANES, VREG
+
+
+def _emulate(plan, x):
+    """Numpy emulation of the colsum + outgather kernels (independent
+    implementation of the device semantics)."""
+    from dasp_tpu.wplan import LONG_PACK, K_SOURCES
+    n = x.size
+    xpad = np.zeros(plan.s_rows * LANES)
+    xpad[:n] = x
+    x2d = xpad.reshape(plan.s_rows, LANES)
+
+    partials = []
+    for s in plan.streams:
+        nv = s.n_vregs
+        part = np.zeros((nv, LANES))
+        for v in range(nv):
+            idx = s.idx[v * SUB:(v + 1) * SUB]
+            vals = s.vals[v * SUB:(v + 1) * SUB]
+            lam = idx & 127
+            q = (idx >> 7) & 7
+            rnd = idx >> 10
+            g = np.zeros((SUB, LANES))
+            for p in range(s.P):
+                w = s.wins[v, p]
+                xw = x2d[w:w + SUB]
+                g1 = xw[q, np.arange(LANES)[None, :]]
+                gp = g1[np.arange(SUB)[:, None], lam]
+                g = np.where(rnd == p, gp, g)
+            part[v] = (vals * g).sum(0)
+        partials.append(part)
+
+    y2_parts = []
+    for seg in plan.sell:
+        p = partials[seg.stream][seg.vreg_offset:
+                                 seg.vreg_offset + seg.n_slices * seg.w8]
+        y2_parts.append(p.reshape(seg.n_slices, seg.w8, LANES).sum(1))
+    if plan.n_long:
+        souts, spos = [], []
+        for lg in plan.longs:
+            totals = np.concatenate([partials[lg.stream].sum(1), [0.0]])
+            idx = np.minimum(lg.idx, totals.size - 1)
+            souts.append(totals[idx].sum(1))
+            spos.append(lg.scalar_pos)
+        scalars = np.zeros(plan.n_long)
+        scalars[np.concatenate(spos)] = np.concatenate(souts)
+        n_lr = -(-plan.n_long // LONG_PACK)
+        pad = np.zeros(n_lr * LONG_PACK)
+        pad[:plan.n_long] = scalars
+        srows = np.concatenate([pad.reshape(n_lr, LONG_PACK),
+                                np.zeros((n_lr, 1))], axis=1)
+        y2_parts.append(srows)
+    y2_parts.append(np.zeros((1, LANES)))
+    y2 = np.concatenate(y2_parts, axis=0)
+
+    B = plan.out_src.shape[0]
+    out = np.zeros((B, LANES))
+    for b in range(B):
+        for k in range(K_SOURCES):
+            src = min(plan.out_src[b, k], y2.shape[0] - 1)
+            out[b] += y2[src][plan.out_perm[b * K_SOURCES + k]]
+    y = out.reshape(-1)[:plan.n_rows]
+    if plan.overflow is not None:
+        y = y + plan.overflow.spmv(x)
+    return y
+
+
+CASES = {
+    "tiny": lambda rng: random_csr(10, 12, np.array(
+        [0, 1, 2, 3, 4, 5, 9, 2, 0, 7]), rng),
+    "fem": lambda rng: fem_like(400, 20, rng),
+    "mixed": lambda rng: mixed_categories(500, rng),
+    "powerlaw": lambda rng: powerlaw_like(400, 1.8, 3000, rng),
+    "scattered": lambda rng: random_csr(
+        300, 5000, rng.integers(1, 60, 300), rng),
+    "wide_cols": lambda rng: random_csr(
+        64, 300_000, rng.integers(1, 40, 64), rng),
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_wplan_emulation_matches_golden(rng, name):
+    csr = CASES[name](rng)
+    plan = build_wplan(csr)
+    x = rng.standard_normal(csr.n_cols)
+    y = _emulate(plan, x)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(y / scale, golden / scale,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_wplan_accounting(rng):
+    csr = mixed_categories(400, rng)
+    plan = build_wplan(csr)
+    # every nonzero is either packed or overflowed
+    packed = sum(int(np.count_nonzero(s.vals)) for s in plan.streams)
+    over = plan.overflow.nnz if plan.overflow is not None else 0
+    n_explicit_zeros = int(np.sum(csr.values == 0.0))
+    assert packed + over + n_explicit_zeros == csr.nnz
+    # overflow should be a small fraction
+    assert over < 0.05 * csr.nnz + 50
+
+
+@pytest.mark.parametrize("name", ["tiny", "fem", "powerlaw"])
+def test_pallas_interpret_matches_golden(rng, name):
+    from dasp_tpu.ops.pallas_backend import PallasSpMV
+    csr = CASES[name](rng)
+    op = PallasSpMV(csr, dtype="f32")
+    x = rng.standard_normal(csr.n_cols)
+    y = op(x)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(y / scale, golden / scale,
+                               rtol=2e-5, atol=2e-5)
