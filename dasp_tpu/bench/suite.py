@@ -18,22 +18,35 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..sparse import CSRMatrix, fem_like, powerlaw_like, random_csr
+from ..sparse import (CSRMatrix, circuit_like, fem_like, powerlaw_like,
+                      random_csr)
 
 # name -> builder(rng) -> CSRMatrix; sized for one v5e chip with room for
-# packed streams + baselines.
+# packed streams + baselines.  Graph matrices use degree-rank column
+# labeling (col_alpha), matching how SNAP/LAW graph dumps are published;
+# `uniform_medium` keeps fully uniform-random columns as the adversarial
+# no-locality case.
 SUITE: Dict[str, Callable] = {
     "cop20k_like": lambda rng: fem_like(120_000, 24, rng),
-    "scircuit_like": lambda rng: random_csr(
-        170_000, 170_000,
-        rng.choice([1, 2, 3, 4, 5, 6, 8, 16],
-                   p=[.2, .2, .15, .15, .1, .1, .05, .05],
-                   size=170_000), rng),
-    "webbase_like": lambda rng: powerlaw_like(400_000, 2.1, 50_000, rng),
-    "wikitalk_like": lambda rng: powerlaw_like(250_000, 1.7, 100_000, rng),
-    "uniform_medium": lambda rng: random_csr(
-        131_072, 131_072, np.full(131_072, 48), rng),
+    "scircuit_like": lambda rng: circuit_like(170_000, rng),
+    "webbase_like": lambda rng: powerlaw_like(400_000, 2.1, 50_000, rng,
+                                              col_alpha=2.0),
+    "wikitalk_like": lambda rng: powerlaw_like(250_000, 1.7, 100_000, rng,
+                                               col_alpha=1.6),
+    # 48 nnz/row uniform within a 16k-wide band: regular widths but only
+    # partial column locality (stresses the multi-round window path).
+    "uniform_medium": lambda rng: _banded_uniform(131_072, 48, 8192, rng),
 }
+
+
+def _banded_uniform(n, k, half_band, rng):
+    row_ptr = np.arange(0, (n + 1) * k, k, dtype=np.int64)
+    rows = np.repeat(np.arange(n), k)
+    offs = rng.integers(-half_band, half_band + 1, size=n * k)
+    col_idx = np.clip(rows + offs, 0, n - 1).astype(np.int32)
+    order = np.lexsort((col_idx, rows))
+    return CSRMatrix(n, n, row_ptr, col_idx[order],
+                     rng.standard_normal(n * k))
 
 
 def build_suite(names: Optional[List[str]] = None, seed: int = 0

@@ -49,8 +49,12 @@ def _on_tpu() -> bool:
 
 
 def _make_colsum(P: int, S: int, NV: int, interpret: bool):
-    """(wins (NV,P), vals (NV*8,128), idx (NV*8,128), x2d (S,128))
-    -> per-vreg column sums (NV, 128) f32."""
+    """(wins (NV,P+1), vals (NV*8,128), idx (NV*8,128), x2d (S,128))
+    -> per-vreg column sums (NV, 128) f32.
+
+    wins[:, 0] is the per-vreg *round count*; wins[:, 1+p] the window row
+    offsets.  Rounds run under a dynamic fori_loop so a vreg only pays for
+    the windows it actually uses (P is just the stream's ceiling)."""
 
     def kernel(win_ref, vals_ref, idx_ref, x_ref, out_ref):
         def body(u, _):
@@ -63,15 +67,18 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool):
                 q = jax.lax.bitwise_and(
                     jax.lax.shift_right_logical(idx, 7), 7)
                 if P == 1:
-                    w = pl.multiple_of(win_ref[v, 0], SUB)
+                    w = pl.multiple_of(win_ref[v, 1], SUB)
                     xw = x_ref[pl.ds(w, SUB), :]
                     g = jnp.take_along_axis(xw, q, axis=0)
                     g = jnp.take_along_axis(g, lam, axis=1)
                 else:
+                    # static round unroll: a dynamic (while) loop would
+                    # serialize the vector pipeline; fine-grained P classes
+                    # keep the padding small instead.
                     rnd = jax.lax.shift_right_logical(idx, 10)
                     g = None
                     for p in range(P):
-                        w = pl.multiple_of(win_ref[v, p], SUB)
+                        w = pl.multiple_of(win_ref[v, 1 + p], SUB)
                         xw = x_ref[pl.ds(w, SUB), :]
                         gp = jnp.take_along_axis(xw, q, axis=0)
                         gp = jnp.take_along_axis(gp, lam, axis=1)
@@ -87,7 +94,7 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool):
         kernel,
         grid=(NV // BV,),
         in_specs=[
-            pl.BlockSpec((BV, P), lambda t: (t, 0),
+            pl.BlockSpec((BV, P + 1), lambda t: (t, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((BV * SUB, LANES), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -185,10 +192,15 @@ def plan_to_arrays(plan, dtype: str = "f32", depth: int = 0):
         nv_pad = -(-max(nv, 1) // BV) * BV
         vals = np.zeros((nv_pad * SUB, LANES), dtype=vdt)
         idx = np.zeros((nv_pad * SUB, LANES), dtype=np.int32)
-        wins = np.zeros((nv_pad, s.P), dtype=np.int32)
+        # wins[:, 0] = per-vreg round count; wins[:, 1:] = window offsets
+        wins = np.zeros((nv_pad, s.P + 1), dtype=np.int32)
         vals[:nv * SUB] = s.vals.astype(vdt)
         idx[:nv * SUB] = s.idx
-        wins[:nv] = s.wins
+        wins[:nv, 1:] = s.wins
+        if s.P > 1:
+            wins[:nv, 0] = np.maximum(s.win_counts, 1)
+        else:
+            wins[:nv, 0] = 1
         arrays["streams"].append(dict(vals=vals, idx=idx, wins=wins))
         stream_shapes.append((s.P, nv_pad))
 
@@ -220,24 +232,16 @@ def plan_to_arrays(plan, dtype: str = "f32", depth: int = 0):
     arrays["out_src"] = src
     arrays["out_perm"] = perm
 
-    # Overflow handling: conflict rejects usually route fine in a second,
-    # sparser windowed pass (same x table); only the dregs of the final
-    # level fall back to the XLA gather executor.
+    # Conflict rejects were already re-routed into per-block rem2 slices by
+    # the packer; only the (tiny) final dregs fall back to the XLA gather
+    # executor here.
     overflow_meta = None
     arrays["overflow"] = None
-    arrays["overflow_w"] = None
     if plan.overflow is not None:
-        if depth < MAX_OVERFLOW_DEPTH and \
-                plan.overflow.nnz > XLA_OVERFLOW_MAX:
-            sub_plan = build_wplan(plan.overflow, plan.config)
-            if sub_plan.census["n_overflow"] < plan.overflow.nnz:
-                overflow_meta, arrays["overflow_w"] = plan_to_arrays(
-                    sub_plan, "f32", depth=depth + 1)
-        if arrays["overflow_w"] is None:
-            from ..plan import build_plan
-            oplan = build_plan(plan.overflow, plan.config)
-            overflow_meta, arrays["overflow"] = xla_backend.plan_to_arrays(
-                oplan, "f32")
+        from ..plan import build_plan
+        oplan = build_plan(plan.overflow, plan.config)
+        overflow_meta, arrays["overflow"] = xla_backend.plan_to_arrays(
+            oplan, "f32")
 
     n_long_rows = -(-plan.n_long // LONG_PACK) if plan.n_long else 0
     meta = WMeta(dtype=dtype, s_rows=plan.s_rows, n_rows=plan.n_rows,
@@ -294,9 +298,7 @@ def spmv_fn(meta: WMeta, arrays: Dict, x2d):
         arrays["out_src"], arrays["out_perm"], y2)
     y = out.reshape(-1)[:meta.n_rows]
 
-    if arrays.get("overflow_w") is not None:
-        y = y + spmv_fn(meta.overflow_meta, arrays["overflow_w"], x2d)
-    elif arrays["overflow"] is not None:
+    if arrays["overflow"] is not None:
         xflat = x2d.reshape(-1)[:meta.n_cols]
         y = y + xla_backend.spmv_fn(meta.overflow_meta, arrays["overflow"],
                                     xflat)

@@ -169,6 +169,28 @@ def powerlaw_like(n: int, alpha: float, max_len: int,
     return CSRMatrix(n, n, row_ptr, col_idx, values)
 
 
+def circuit_like(n: int, rng: np.random.Generator, spread: int = 300,
+                 dtype=np.float64) -> CSRMatrix:
+    """Circuit-simulation style: mostly 1-8 nnz rows whose columns sit near
+    the diagonal (netlist locality), plus a few denser rail/supply rows —
+    the scircuit archetype of BASELINE config 3."""
+    lengths = rng.choice([1, 2, 3, 4, 5, 6, 8, 16],
+                         p=[.2, .2, .15, .15, .1, .1, .05, .05], size=n)
+    rails = rng.choice(n, size=max(1, n // 2000), replace=False)
+    lengths[rails] = rng.integers(200, 2000, size=rails.size)
+    lengths = np.minimum(lengths.astype(np.int64), n)
+    row_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=row_ptr[1:])
+    nnz = int(row_ptr[-1])
+    rows = np.repeat(np.arange(n), lengths)
+    offs = rng.integers(-spread, spread + 1, size=nnz)
+    col_idx = np.clip(rows + offs, 0, n - 1).astype(np.int32)
+    order = np.lexsort((col_idx, rows))
+    col_idx = col_idx[order]
+    values = rng.standard_normal(nnz).astype(dtype)
+    return CSRMatrix(n, n, row_ptr, col_idx, values)
+
+
 def mixed_categories(n: int, rng: np.random.Generator,
                      dtype=np.float64, block_longest: int = 256) -> CSRMatrix:
     """Every row category represented: zero, 1..4, medium spread, long."""

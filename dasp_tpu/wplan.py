@@ -66,8 +66,11 @@ VREG = 1024
 LONG_PACK = 127          # long scalars per y2 row (lane 127 stays zero)
 
 W8_CLASSES = (1, 2, 4, 8, 16, 32)
-P_CLASSES = (1, 2, 4, 8, 16, 32, 64)
-K_SOURCES = 4            # output-gather sources per block
+P_CLASSES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
+# output-gather sources per block:
+# [0] primary slice, [1] remainder tails, [2] routed-conflict slice (rem2),
+# [3]/[4] long-scalar rows
+K_SOURCES = 5
 
 
 @dataclasses.dataclass
@@ -77,6 +80,7 @@ class WStream:
     vals: np.ndarray          # (NV*8, 128) float64 (cast at lowering)
     idx: np.ndarray           # (NV*8, 128) int32
     wins: np.ndarray          # (NV, P) int32 row offsets into x2d (mult 8)
+    win_counts: np.ndarray    # (NV,) int32 rounds actually used per vreg
 
     @property
     def n_vregs(self) -> int:
@@ -250,32 +254,56 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     ovf_c: List[np.ndarray] = []
     ovf_v: List[np.ndarray] = []
 
-    def route_packet(kind, base, slen, w8, block, ovf_rows):
-        """Route one 128-lane slice; lanes with slen=0 are pads."""
+    def _try_route(base, slen, w8):
+        """Route one slice at width w8 without committing overflow.  Each
+        row's elements are spread evenly over the w8 vregs (chunk height
+        ceil(len/w8)), so widening genuinely lowers per-vreg cell load."""
         tiles = []
         p_used = 1
+        n_ovf = 0
+        ovf_local = []
+        c = np.maximum(1, -(-slen // w8))          # per-row chunk height
         for v in range(w8):
-            lo = v * SUB
-            take = np.clip(slen - lo, 0, SUB)
-            tot = int(take.sum())
-            if tot == 0:
+            lo = v * c
+            take = np.clip(slen - lo, 0, c)
+            if int(take.sum()) == 0:
                 tiles.append((np.zeros((SUB, LANES)),
                               np.zeros((SUB, LANES), dtype=np.int64),
                               np.empty(0, dtype=np.int64)))
                 continue
             lanes_v = np.repeat(np.arange(LANES), take)
-            iprefs = np.concatenate([np.arange(t) for t in take])
+            iprefs = np.concatenate(
+                [np.arange(t) for t in take]) if take.any() else \
+                np.empty(0, dtype=np.int64)
             elem = np.repeat(base + lo, take) + iprefs
             colv, valv = cols_all[elem], vals_all[elem]
             vt, it, wl, om = _route_vreg(lanes_v, iprefs, colv, valv, p_cap)
             if om.any():
-                ovf_r.append(ovf_rows[lanes_v[om]])
-                ovf_c.append(colv[om])
-                ovf_v.append(valv[om])
+                n_ovf += int(om.sum())
+                ovf_local.append((lanes_v[om], colv[om], valv[om]))
             p_used = max(p_used, wl.size)
             tiles.append((vt, it, wl))
+        return tiles, p_used, n_ovf, ovf_local
+
+    def route_packet(kind, base, slen, w8, block, ovf_rows):
+        """Route one 128-lane slice; lanes with slen=0 are pads.  Congested
+        slices (routing-cell conflicts) are retried at doubled width, which
+        halves the per-vreg cell load."""
+        tiles, p_used, n_ovf, ovf_local = _try_route(base, slen, w8)
+        total = int(slen.sum())
+        while (n_ovf > 0.05 * total and w8 != W8_CLASSES[-1]):
+            w8 = W8_CLASSES[W8_CLASSES.index(w8) + 1]
+            tiles2, p2, n2, ovf2 = _try_route(base, slen, w8)
+            if n2 >= n_ovf:
+                break
+            tiles, p_used, n_ovf, ovf_local = tiles2, p2, n2, ovf2
+        for lanes_o, colv, valv in ovf_local:
+            ovf_r.append(ovf_rows[lanes_o])
+            ovf_c.append(colv)
+            ovf_v.append(valv)
         packets.append(_Packet(kind, w8, _p_class(p_used, p_cap), tiles,
                                block))
+        return w8
 
     # ---- per-block SELL slices + per-block remainder tails --------------
     # lane assignment per block: sell rows length-desc, pads last.
@@ -338,6 +366,88 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                      lane_rows)
         rem_block_list.append(b)
 
+    # ---- rem2: re-route conflict rejects per block ----------------------
+    # Elements the first pass could not route get a second, sparser slice
+    # per block (fresh routing tables); remaining rejects go to the COO
+    # overflow (XLA fallback) which is then tiny.
+    rem2_lane_of_row = np.full(n_rows_global := n, -1, dtype=np.int64)
+    rem2_pad_lane = np.full(B, -1, dtype=np.int64)
+    if ovf_r:
+        o_rows = np.concatenate(ovf_r)
+        o_cols = np.concatenate(ovf_c)
+        o_vals = np.concatenate(ovf_v)
+        ovf_r.clear()
+        ovf_c.clear()
+        ovf_v.clear()
+        order = np.lexsort((o_cols, o_rows))
+        o_rows, o_cols, o_vals = o_rows[order], o_cols[order], o_vals[order]
+        o_blocks = o_rows // LANES
+        for b in np.unique(o_blocks):
+            sel = o_blocks == b
+            er, ec, ev = o_rows[sel], o_cols[sel], o_vals[sel]
+            urows, counts = np.unique(er, return_counts=True)
+            # order lanes by count desc for width choice
+            lane_order = np.argsort(-counts, kind="stable")
+            urows, counts = urows[lane_order], counts[lane_order]
+            if urows.size > LANES:
+                # more overflowing rows than lanes: send the tail to COO
+                keep_rows = set(urows[:LANES].tolist())
+                drop = ~np.isin(er, list(keep_rows))
+                ovf_r.append(er[drop])
+                ovf_c.append(ec[drop])
+                ovf_v.append(ev[drop])
+                er, ec, ev = er[~drop], ec[~drop], ev[~drop]
+                urows, counts = urows[:LANES], counts[:LANES]
+            lane_of = {int(r): i for i, r in enumerate(urows)}
+            rem2_lane_of_row[urows] = np.arange(urows.size)
+            if urows.size < LANES:
+                rem2_pad_lane[b] = urows.size
+            slen = np.zeros(LANES, dtype=np.int64)
+            slen[:counts.size] = np.minimum(counts, SUB * W8_CLASSES[-1])
+            ex = counts > SUB * W8_CLASSES[-1]
+            lanes_e = np.array([lane_of[int(r)] for r in er])
+            # local index of each element within its lane (col-sorted)
+            order2 = np.lexsort((ec, lanes_e))
+            lanes_e, ec, ev, er = (lanes_e[order2], ec[order2],
+                                   ev[order2], er[order2])
+            starts = np.zeros(LANES + 1, dtype=np.int64)
+            cnt_by_lane = np.bincount(lanes_e, minlength=LANES)
+            np.cumsum(cnt_by_lane, out=starts[1:])
+            local = np.arange(lanes_e.size) - starts[lanes_e]
+            if ex.any():
+                drop = local >= SUB * W8_CLASSES[-1]
+                ovf_r.append(er[drop])
+                ovf_c.append(ec[drop])
+                ovf_v.append(ev[drop])
+                lanes_e, ec, ev, local = (lanes_e[~drop], ec[~drop],
+                                          ev[~drop], local[~drop])
+            w8 = _choose_w8(slen, config.threshold)
+            while SUB * w8 < slen.max() and w8 != W8_CLASSES[-1]:
+                w8 = W8_CLASSES[W8_CLASSES.index(w8) + 1]
+            tiles = []
+            p_used = 1
+            c = np.maximum(1, -(-slen // w8))
+            for v in range(w8):
+                lo = c[lanes_e] * v
+                in_v = (local >= lo) & (local < lo + c[lanes_e])
+                if not in_v.any():
+                    tiles.append((np.zeros((SUB, LANES)),
+                                  np.zeros((SUB, LANES), dtype=np.int64),
+                                  np.empty(0, dtype=np.int64)))
+                    continue
+                vt, it, wl, om = _route_vreg(
+                    lanes_e[in_v], local[in_v] - lo[in_v],
+                    ec[in_v], ev[in_v], p_cap)
+                if om.any():
+                    sel_v = np.flatnonzero(in_v)[om]
+                    ovf_r.append(er[sel_v])
+                    ovf_c.append(ec[sel_v])
+                    ovf_v.append(ev[sel_v])
+                p_used = max(p_used, wl.size)
+                tiles.append((vt, it, wl))
+            packets.append(_Packet("rem2", w8, _p_class(p_used, p_cap),
+                                   tiles, int(b)))
+
     # ---- long rows (original row order -> scalar order) -----------------
     long_rows = np.flatnonzero(is_long)
     scalar_pos_of_row = {int(r): i for i, r in enumerate(long_rows)}
@@ -373,12 +483,13 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     stream_idx: Dict[int, int] = {}
     y2_row_of_block = np.full(B, -1, dtype=np.int64)   # primary slice row
     y2_row_of_rem = np.full(B, -1, dtype=np.int64)
+    y2_row_of_rem2 = np.full(B, -1, dtype=np.int64)
     out_row = 0
 
     for cls in cls_list:
         stream_idx[cls] = len(streams)
         mine = [p for p in packets if p.cls == cls]
-        kind_rank = {"sell": 0, "rem": 1, "long": 2}
+        kind_rank = {"sell": 0, "rem": 1, "rem2": 2, "long": 3}
         mine.sort(key=lambda p: (kind_rank[p.kind], p.w8, p.block))
         vals_parts, idx_parts, win_parts = [], [], []
         vreg_cursor = 0
@@ -399,8 +510,10 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                     win_parts.append(wl)
                 if p.kind == "sell":
                     y2_row_of_block[p.block] = out_row
-                else:
+                elif p.kind == "rem":
                     y2_row_of_rem[p.block] = out_row
+                else:
+                    y2_row_of_rem2[p.block] = out_row
                 out_row += 1
                 vreg_cursor += p.w8
             i = j
@@ -433,10 +546,13 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         vals = np.stack(vals_parts).reshape(nv * SUB, LANES)
         idx = np.stack(idx_parts).reshape(nv * SUB, LANES)
         wins = np.zeros((nv, cls), dtype=np.int64)
+        counts = np.zeros(nv, dtype=np.int32)
         for k, wl in enumerate(win_parts):
             wins[k, :wl.size] = wl
+            counts[k] = wl.size
         streams.append(WStream(P=cls, vals=vals, idx=idx.astype(np.int32),
-                               wins=wins.astype(np.int32)))
+                               wins=wins.astype(np.int32),
+                               win_counts=counts))
 
     # long scalar rows appended to y2 after the slice rows
     n_long = long_rows.size
@@ -467,7 +583,13 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             lanes1 = rem_lane_of_row[rows]
             out_perm[b, 1, :nlanes] = np.where(
                 lanes1 >= 0, lanes1, max(rem_pad_lane[b], 0))
-        # k=2,3: long scalars (contiguous in row order within the block)
+        # k=2: conflict-reroute slice
+        if y2_row_of_rem2[b] >= 0:
+            out_src[b, 2] = y2_row_of_rem2[b]
+            lanes2 = rem2_lane_of_row[rows]
+            out_perm[b, 2, :nlanes] = np.where(
+                lanes2 >= 0, lanes2, max(rem2_pad_lane[b], 0))
+        # k=3,4: long scalars (contiguous in row order within the block)
         lmask = is_long[rows]
         if lmask.any():
             lrows = rows[lmask]
@@ -479,7 +601,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 raise AssertionError(
                     "long rows of one block span >2 scalar rows")
             for kk, sr in enumerate(uniq):
-                k = 2 + kk
+                k = 3 + kk
                 out_src[b, k] = sr
                 sel = src_rows == sr
                 out_perm[b, k, :] = LANES - 1          # zero lane
