@@ -110,6 +110,136 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool):
     )
 
 
+def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool):
+    """Double-double colsum: values and the x table are (hi, lo) float32
+    pairs (the f32x2 emulation of the reference's fp64 path,
+    ``main_f64.cu`` / ``dasp_f64.h``; see ops/dd.py)."""
+    from . import dd
+
+    def kernel(win_ref, vh_ref, vl_ref, idx_ref, xh_ref, xl_ref,
+               oh_ref, ol_ref):
+        def body(u, _):
+            parts_h, parts_l = [], []
+            for k in range(UNROLL):
+                v = u * UNROLL + k
+                idx = idx_ref[pl.ds(v * SUB, SUB), :]
+                vh = vh_ref[pl.ds(v * SUB, SUB), :]
+                vl = vl_ref[pl.ds(v * SUB, SUB), :]
+                lam = jax.lax.bitwise_and(idx, 127)
+                q = jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(idx, 7), 7)
+
+                def gather_pair(p):
+                    w = pl.multiple_of(win_ref[v, 1 + p], SUB)
+                    gh = xh_ref[pl.ds(w, SUB), :]
+                    gl = xl_ref[pl.ds(w, SUB), :]
+                    gh = jnp.take_along_axis(gh, q, axis=0)
+                    gh = jnp.take_along_axis(gh, lam, axis=1)
+                    gl = jnp.take_along_axis(gl, q, axis=0)
+                    gl = jnp.take_along_axis(gl, lam, axis=1)
+                    return gh, gl
+
+                if P == 1:
+                    gh, gl = gather_pair(0)
+                else:
+                    rnd = jax.lax.shift_right_logical(idx, 10)
+                    gh = gl = None
+                    for p in range(P):
+                        ph, plo = gather_pair(p)
+                        if gh is None:
+                            gh, gl = ph, plo
+                        else:
+                            gh = jnp.where(rnd == p, ph, gh)
+                            gl = jnp.where(rnd == p, plo, gl)
+                ph, plo = dd.mul(vh, vl, gh, gl)
+                # dd tree-sum over the 8 sublanes
+                sh, sl = dd.sum_axis(ph, plo, 0)
+                parts_h.append(sh[None])
+                parts_l.append(sl[None])
+            oh_ref[pl.ds(u * UNROLL, UNROLL), :] = jnp.concatenate(parts_h, 0)
+            ol_ref[pl.ds(u * UNROLL, UNROLL), :] = jnp.concatenate(parts_l, 0)
+            return 0
+
+        jax.lax.fori_loop(0, BV // UNROLL, body, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(NV // BV,),
+        in_specs=[
+            pl.BlockSpec((BV, P + 1), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BV * SUB, LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BV * SUB, LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BV * SUB, LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((BV, LANES), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((BV, LANES), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((NV, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((NV, LANES), jnp.float32)),
+        interpret=interpret,
+    )
+
+
+def _make_outgather_dd(B: int, R2: int, interpret: bool):
+    """dd variant of the output assembly: gathers hi/lo pairs and combines
+    the K sources with compensated adds."""
+    from . import dd
+
+    def kernel(src_ref, perm_ref, yh_ref, yl_ref, oh_ref, ol_ref):
+        def body(u, _):
+            ah = al = None
+            for s in range(K_SOURCES):
+                rh = [yh_ref[pl.ds(src_ref[u * UNROLL + k, s], 1), :]
+                      for k in range(UNROLL)]
+                rl = [yl_ref[pl.ds(src_ref[u * UNROLL + k, s], 1), :]
+                      for k in range(UNROLL)]
+                sh = jnp.concatenate(rh, 0)
+                sl = jnp.concatenate(rl, 0)
+                pr = perm_ref[s, pl.ds(u * UNROLL, UNROLL), :]
+                gh = jnp.take_along_axis(sh, pr, axis=1)
+                gl = jnp.take_along_axis(sl, pr, axis=1)
+                if ah is None:
+                    ah, al = gh, gl
+                else:
+                    ah, al = dd.add(ah, al, gh, gl)
+            oh_ref[pl.ds(u * UNROLL, UNROLL), :] = ah
+            ol_ref[pl.ds(u * UNROLL, UNROLL), :] = al
+            return 0
+
+        jax.lax.fori_loop(0, OB // UNROLL, body, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // OB,),
+        in_specs=[
+            pl.BlockSpec((OB, K_SOURCES), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((K_SOURCES, OB, LANES), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R2, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R2, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((OB, LANES), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((OB, LANES), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((B, LANES), jnp.float32)),
+        interpret=interpret,
+    )
+
+
 def _make_outgather(B: int, R2: int, interpret: bool):
     """(src (B,K) SMEM, perm (K,B,128), y2 (R2,128)) -> y blocks (B,128).
 
@@ -180,9 +310,10 @@ def plan_to_arrays(plan, dtype: str = "f32", depth: int = 0):
     from ..sparse import CSRMatrix
     if isinstance(plan, CSRMatrix):
         plan = build_wplan(plan)
-    if dtype not in ("f32", "bf16"):
-        raise ValueError("pallas backend supports f32/bf16")
+    if dtype not in ("f32", "bf16", "f64"):
+        raise ValueError("pallas backend supports f32/bf16/f64")
     import ml_dtypes
+    from . import dd as _dd
     vdt = ml_dtypes.bfloat16 if dtype == "bf16" else np.float32
 
     arrays: Dict = {"streams": [], "long_idx": []}
@@ -190,18 +321,28 @@ def plan_to_arrays(plan, dtype: str = "f32", depth: int = 0):
     for s in plan.streams:
         nv = s.n_vregs
         nv_pad = -(-max(nv, 1) // BV) * BV
-        vals = np.zeros((nv_pad * SUB, LANES), dtype=vdt)
         idx = np.zeros((nv_pad * SUB, LANES), dtype=np.int32)
         # wins[:, 0] = per-vreg round count; wins[:, 1:] = window offsets
         wins = np.zeros((nv_pad, s.P + 1), dtype=np.int32)
-        vals[:nv * SUB] = s.vals.astype(vdt)
         idx[:nv * SUB] = s.idx
         wins[:nv, 1:] = s.wins
         if s.P > 1:
             wins[:nv, 0] = np.maximum(s.win_counts, 1)
         else:
             wins[:nv, 0] = 1
-        arrays["streams"].append(dict(vals=vals, idx=idx, wins=wins))
+        entry = dict(idx=idx, wins=wins)
+        if dtype == "f64":
+            hi, lo = _dd.from_f64(s.vals)
+            vh = np.zeros((nv_pad * SUB, LANES), dtype=np.float32)
+            vl = np.zeros((nv_pad * SUB, LANES), dtype=np.float32)
+            vh[:nv * SUB] = hi
+            vl[:nv * SUB] = lo
+            entry["vals_hi"], entry["vals_lo"] = vh, vl
+        else:
+            vals = np.zeros((nv_pad * SUB, LANES), dtype=vdt)
+            vals[:nv * SUB] = s.vals.astype(vdt)
+            entry["vals"] = vals
+        arrays["streams"].append(entry)
         stream_shapes.append((s.P, nv_pad))
 
     sell_segs = tuple((g.stream, g.vreg_offset, g.n_slices, g.w8)
@@ -232,16 +373,22 @@ def plan_to_arrays(plan, dtype: str = "f32", depth: int = 0):
     arrays["out_src"] = src
     arrays["out_perm"] = perm
 
-    # Conflict rejects were already re-routed into per-block rem2 slices by
-    # the packer; only the (tiny) final dregs fall back to the XLA gather
-    # executor here.
+    # Conflict rejects were already re-routed into shared rem2/rem3 slices
+    # by the packer; only the (tiny) final dregs run here as a plain COO
+    # gather + scatter-add (cheap because the element count is tiny).
     overflow_meta = None
     arrays["overflow"] = None
-    if plan.overflow is not None:
-        from ..plan import build_plan
-        oplan = build_plan(plan.overflow, plan.config)
-        overflow_meta, arrays["overflow"] = xla_backend.plan_to_arrays(
-            oplan, "f32")
+    if plan.overflow is not None and plan.overflow.nnz:
+        o = plan.overflow
+        rows = np.repeat(np.arange(o.n_rows), o.row_lengths).astype(np.int32)
+        entry = dict(rows=rows, cols=o.col_idx.astype(np.int32))
+        if dtype == "f64":
+            from . import dd as _dd
+            entry["vals_hi"], entry["vals_lo"] = _dd.from_f64(
+                o.values.astype(np.float64))
+        else:
+            entry["vals"] = o.values.astype(np.float32)
+        arrays["overflow"] = entry
 
     n_long_rows = -(-plan.n_long // LONG_PACK) if plan.n_long else 0
     meta = WMeta(dtype=dtype, s_rows=plan.s_rows, n_rows=plan.n_rows,
@@ -253,15 +400,26 @@ def plan_to_arrays(plan, dtype: str = "f32", depth: int = 0):
     return meta, arrays
 
 
-def prep_x(meta: WMeta, x: np.ndarray) -> np.ndarray:
-    """Host-side: pad x to the (s_rows,128) table shape."""
+def prep_x(meta: WMeta, x: np.ndarray):
+    """Host-side: pad x to the (s_rows,128) table shape (hi/lo pair for
+    the f64 path)."""
+    if meta.dtype == "f64":
+        from . import dd as _dd
+        xp = np.zeros(meta.s_rows * LANES, dtype=np.float64)
+        xp[:meta.n_cols] = np.asarray(x, dtype=np.float64)[:meta.n_cols]
+        hi, lo = _dd.from_f64(xp)
+        return dict(hi=hi.reshape(meta.s_rows, LANES),
+                    lo=lo.reshape(meta.s_rows, LANES))
     xp = np.zeros(meta.s_rows * LANES, dtype=np.float32)
     xp[:meta.n_cols] = np.asarray(x, dtype=np.float32)[:meta.n_cols]
     return xp.reshape(meta.s_rows, LANES)
 
 
 def spmv_fn(meta: WMeta, arrays: Dict, x2d):
-    """Jittable windowed SpMV: x2d (s_rows,128) f32 -> y (n_rows,) f32."""
+    """Jittable windowed SpMV: x2d (s_rows,128) f32 (or {"hi","lo"} pair
+    for f64) -> y (n_rows,)."""
+    if meta.dtype == "f64":
+        return _spmv_dd(meta, arrays, x2d)
     partials = []
     for (P, NV), st in zip(meta.streams, arrays["streams"]):
         call = _make_colsum(P, meta.s_rows, NV, meta.interpret)
@@ -299,12 +457,79 @@ def spmv_fn(meta: WMeta, arrays: Dict, x2d):
     y = out.reshape(-1)[:meta.n_rows]
 
     if arrays["overflow"] is not None:
-        xflat = x2d.reshape(-1)[:meta.n_cols]
-        y = y + xla_backend.spmv_fn(meta.overflow_meta, arrays["overflow"],
-                                    xflat)
+        o = arrays["overflow"]
+        xg = jnp.take(x2d.reshape(-1), o["cols"], mode="clip")
+        y = y.at[o["rows"]].add(o["vals"] * xg, mode="drop")
     if meta.dtype == "bf16":
         return y.astype(jnp.bfloat16)
     return y
+
+
+def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
+    """f64 (double-double) executor: hi/lo everywhere, compensated sums."""
+    from . import dd
+    xh, xl = x2d["hi"], x2d["lo"]
+    partials = []
+    for (P, NV), st in zip(meta.streams, arrays["streams"]):
+        call = _make_colsum_dd(P, meta.s_rows, NV, meta.interpret)
+        partials.append(call(st["wins"], st["vals_hi"], st["vals_lo"],
+                             st["idx"], xh, xl))
+
+    y2h_parts, y2l_parts = [], []
+    for stream, off, n_slices, w8 in meta.sell_segs:
+        ph = partials[stream][0][off:off + n_slices * w8]
+        plo = partials[stream][1][off:off + n_slices * w8]
+        sh, sl = dd.sum_axis(ph.reshape(n_slices, w8, LANES),
+                             plo.reshape(n_slices, w8, LANES), 1)
+        y2h_parts.append(sh)
+        y2l_parts.append(sl)
+
+    if meta.n_long:
+        vreg_totals = [None] * len(meta.streams)
+        souts_h, souts_l = [], []
+        for stream, li in meta.long_groups:
+            if vreg_totals[stream] is None:
+                th, tl = dd.sum_axis(partials[stream][0],
+                                     partials[stream][1], 1)
+                vreg_totals[stream] = (
+                    jnp.concatenate([th, jnp.zeros(1, th.dtype)]),
+                    jnp.concatenate([tl, jnp.zeros(1, tl.dtype)]))
+            idxm = arrays["long_idx"][li]
+            th, tl = vreg_totals[stream]
+            gh = jnp.take(th, idxm, mode="clip")
+            gl = jnp.take(tl, idxm, mode="clip")
+            sh, sl = dd.sum_axis(gh, gl, 1)
+            souts_h.append(sh)
+            souts_l.append(sl)
+        sc_h = jnp.concatenate(souts_h)[arrays["long_inv"]]
+        sc_l = jnp.concatenate(souts_l)[arrays["long_inv"]]
+        pad = meta.n_long_rows * LONG_PACK - meta.n_long
+        z = jnp.zeros(pad, jnp.float32)
+        for parts, sc in ((y2h_parts, jnp.concatenate([sc_h, z])),
+                          (y2l_parts, jnp.concatenate([sc_l, z]))):
+            srows = sc.reshape(meta.n_long_rows, LONG_PACK)
+            parts.append(jnp.concatenate(
+                [srows, jnp.zeros((meta.n_long_rows, 1), jnp.float32)],
+                axis=1))
+
+    y2h_parts.append(jnp.zeros((1, LANES), jnp.float32))
+    y2l_parts.append(jnp.zeros((1, LANES), jnp.float32))
+    y2h = jnp.concatenate(y2h_parts, axis=0)
+    y2l = jnp.concatenate(y2l_parts, axis=0)
+
+    oh, ol = _make_outgather_dd(meta.B_pad, y2h.shape[0], meta.interpret)(
+        arrays["out_src"], arrays["out_perm"], y2h, y2l)
+    yh = oh.reshape(-1)[:meta.n_rows]
+    yl = ol.reshape(-1)[:meta.n_rows]
+
+    if arrays["overflow"] is not None:
+        o = arrays["overflow"]
+        gh = jnp.take(xh.reshape(-1), o["cols"], mode="clip")
+        gl = jnp.take(xl.reshape(-1), o["cols"], mode="clip")
+        ph, plo = dd.mul(o["vals_hi"], o["vals_lo"], gh, gl)
+        yh = yh.at[o["rows"]].add(ph, mode="drop")
+        yl = yl.at[o["rows"]].add(plo, mode="drop")
+    return dict(hi=yh, lo=yl)
 
 
 class PallasSpMV:
@@ -327,7 +552,7 @@ class PallasSpMV:
     backend = "pallas"
 
     def _prep_x(self, x):
-        return jnp.asarray(prep_x(self._meta, x))
+        return jax.device_put(prep_x(self._meta, x))
 
     def device_call(self, x_dev):
         return self._fn(self._meta, self._arrays, x_dev)
@@ -339,11 +564,19 @@ class PallasSpMV:
         def loop(arrays, x2d):
             def body(_, x2d):
                 y = spmv_fn(meta, arrays, x2d)
-                return x2d + y[0].astype(jnp.float32) * jnp.float32(1e-36)
+                tap = (y["hi"] if isinstance(y, dict) else y)[0]
+                tap = tap.astype(jnp.float32) * jnp.float32(1e-36)
+                if isinstance(x2d, dict):
+                    return dict(hi=x2d["hi"] + tap, lo=x2d["lo"])
+                return x2d + tap
             x2d = jax.lax.fori_loop(0, iters, body, x2d)
             return spmv_fn(meta, arrays, x2d)
 
         return lambda x_dev: loop(self._arrays, x_dev)
 
     def __call__(self, x):
-        return np.asarray(self.device_call(self._prep_x(x)))
+        y = self.device_call(self._prep_x(x))
+        if self.dtype == "f64":
+            from . import dd
+            return dd.to_f64(np.asarray(y["hi"]), np.asarray(y["lo"]))
+        return np.asarray(y)

@@ -50,8 +50,8 @@ class SpMVOperator:
     def __new__(cls, csr, dtype: str = F32,
                 config: DaspConfig = DEFAULT_CONFIG, backend: str = "auto"):
         if backend == "pallas" or (
-                backend == "auto" and dtype in (F32, BF16)
-                and isinstance(csr, CSRMatrix) and _tpu_available()):
+                backend == "auto" and isinstance(csr, CSRMatrix)
+                and _tpu_available()):
             from .ops.pallas_backend import PallasSpMV
             return PallasSpMV(csr, dtype, config)
         return super().__new__(cls)

@@ -68,7 +68,7 @@ LONG_PACK = 127          # long scalars per y2 row (lane 127 stays zero)
 W8_CLASSES = (1, 2, 4, 8, 16, 32)
 P_CLASSES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
 # output-gather sources per block:
-# [0] primary slice, [1] remainder tails, [2] routed-conflict slice (rem2),
+# [0] primary slice, [1]/[2] re-routed tails/conflicts (two shared levels),
 # [3]/[4] long-scalar rows
 K_SOURCES = 5
 
@@ -309,10 +309,20 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # lane assignment per block: sell rows length-desc, pads last.
     block_lane_of_row = np.full(n, -1, dtype=np.int64)     # lane in slice b
     block_pad_lane = np.full(B, -1, dtype=np.int64)        # a zero lane
-    rem_lane_of_row = np.full(n, -1, dtype=np.int64)
-    rem_block_list: List[int] = []                          # blocks w/ tails
 
-    spills_by_block: Dict[int, List[Tuple[int, int, int]]] = {}
+    # Row fragments emitted as long-style scalar outputs (big tails that
+    # would otherwise inflate a 128-lane slice's width).
+    FRAG_MIN = 64
+    frags: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}   # row -> (col,val)
+
+    def add_frag(row: int, colv: np.ndarray, valv: np.ndarray):
+        if row in frags:
+            pc, pv = frags[row]
+            frags[row] = (np.concatenate([pc, colv]),
+                          np.concatenate([pv, valv]))
+        else:
+            frags[row] = (colv, valv)
+
     for b in range(B):
         rows = np.arange(b * LANES, min((b + 1) * LANES, n))
         sell = rows[~is_long[rows] & (lens[rows] > 0)]
@@ -328,134 +338,178 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         w8 = _choose_w8(slen, config.threshold)
         over = slen > SUB * w8
         if over.any():
-            lst = spills_by_block.setdefault(b, [])
+            # tails: big ones become scalar fragments, the rest re-route
+            # through the block's element-granular rem2 slice
             for j in np.flatnonzero(over):
-                lst.append((int(lane_rows[j]), int(base[j] + SUB * w8),
-                            int(slen[j] - SUB * w8)))
+                t_base = int(base[j] + SUB * w8)
+                t_len = int(slen[j] - SUB * w8)
+                if t_len > FRAG_MIN:
+                    add_frag(int(lane_rows[j]),
+                             cols_all[t_base:t_base + t_len],
+                             vals_all[t_base:t_base + t_len])
+                else:
+                    ovf_r.append(np.full(t_len, lane_rows[j]))
+                    ovf_c.append(cols_all[t_base:t_base + t_len])
+                    ovf_v.append(vals_all[t_base:t_base + t_len])
         route_packet("sell", base, np.minimum(slen, SUB * w8), w8, b,
                      lane_rows)
-
-    rem_pad_lane = np.full(B, -1, dtype=np.int64)
-    for b, lst in sorted(spills_by_block.items()):
-        lst.sort(key=lambda t: -t[2])
-        r_rows = np.array([t[0] for t in lst], dtype=np.int64)
-        r_base = np.array([t[1] for t in lst], dtype=np.int64)
-        r_len = np.array([t[2] for t in lst], dtype=np.int64)
-        lane_rows = np.full(LANES, -1, dtype=np.int64)
-        lane_rows[:r_rows.size] = r_rows
-        rem_lane_of_row[r_rows] = np.arange(r_rows.size)
-        if r_rows.size < LANES:
-            rem_pad_lane[b] = r_rows.size
-        slen = np.zeros(LANES, dtype=np.int64)
-        base = np.zeros(LANES, dtype=np.int64)
-        slen[:r_len.size] = r_len
-        base[:r_base.size] = r_base
-        w8 = _choose_w8(slen, config.threshold)
-        while SUB * w8 < slen.max() and w8 != W8_CLASSES[-1]:
-            w8 = W8_CLASSES[W8_CLASSES.index(w8) + 1]
-        if slen.max() > SUB * w8:     # tail longer than widest class:
-            over = slen > SUB * w8    # re-spill to overflow COO
-            for j in np.flatnonzero(over):
-                ln_o = int(slen[j] - SUB * w8)
-                st = int(base[j] + SUB * w8)
-                ovf_r.append(np.full(ln_o, lane_rows[j]))
-                ovf_c.append(cols_all[st:st + ln_o])
-                ovf_v.append(vals_all[st:st + ln_o])
-            slen = np.minimum(slen, SUB * w8)
-        route_packet("rem", base, np.minimum(slen, SUB * w8), w8, b,
-                     lane_rows)
-        rem_block_list.append(b)
 
     # ---- rem2: re-route conflict rejects per block ----------------------
     # Elements the first pass could not route get a second, sparser slice
     # per block (fresh routing tables); remaining rejects go to the COO
     # overflow (XLA fallback) which is then tiny.
-    rem2_lane_of_row = np.full(n_rows_global := n, -1, dtype=np.int64)
-    rem2_pad_lane = np.full(B, -1, dtype=np.int64)
-    if ovf_r:
-        o_rows = np.concatenate(ovf_r)
-        o_cols = np.concatenate(ovf_c)
-        o_vals = np.concatenate(ovf_v)
-        ovf_r.clear()
-        ovf_c.clear()
-        ovf_v.clear()
+    # Re-routed slices are SHARED by runs of consecutive blocks (127 rows
+    # per slice, lane 127 reserved as an always-zero pad), so blocks with
+    # only a handful of re-routed rows don't each pay a full 128-lane
+    # slice.  A block's rows stay in one slice (block-atomic grouping) so
+    # the output gather needs a single source per block per level.  Two
+    # levels run (conflicts of level 1 re-route in level 2); the dregs
+    # fall to the COO overflow.
+    rem_lane_of_row = [np.full(n, -1, dtype=np.int64) for _ in range(2)]
+    rem_slice_of_block = [np.full(B, -1, dtype=np.int64) for _ in range(2)]
+    n_rem_slices = [0, 0]
+    NEIGHBORHOOD = 8          # blocks per shared slice (locality bound)
+    CAPL = LANES - 1          # lanes per slice (zero pad at 127)
+
+    def build_shared_level(level, o_rows, o_cols, o_vals):
+        """Pack overflow triplets into shared slices; returns leftovers."""
+        kind = "rem2" if level == 0 else "rem3"
+        left_r, left_c, left_v = [], [], []
         order = np.lexsort((o_cols, o_rows))
         o_rows, o_cols, o_vals = o_rows[order], o_cols[order], o_vals[order]
-        o_blocks = o_rows // LANES
-        for b in np.unique(o_blocks):
-            sel = o_blocks == b
+        urows_all, row_counts = np.unique(o_rows, return_counts=True)
+        row_start = np.zeros(urows_all.size + 1, dtype=np.int64)
+        np.cumsum(row_counts, out=row_start[1:])
+        ublocks = urows_all // LANES
+
+        def emit(slice_rows, member_blocks):
+            sid = n_rem_slices[level]
+            n_rem_slices[level] += 1
+            for mb in member_blocks:
+                rem_slice_of_block[level][mb] = sid
+            rem_lane_of_row[level][slice_rows] = np.arange(slice_rows.size)
+            sel = np.isin(o_rows, slice_rows)
             er, ec, ev = o_rows[sel], o_cols[sel], o_vals[sel]
-            urows, counts = np.unique(er, return_counts=True)
-            # order lanes by count desc for width choice
-            lane_order = np.argsort(-counts, kind="stable")
-            urows, counts = urows[lane_order], counts[lane_order]
-            if urows.size > LANES:
-                # more overflowing rows than lanes: send the tail to COO
-                keep_rows = set(urows[:LANES].tolist())
-                drop = ~np.isin(er, list(keep_rows))
-                ovf_r.append(er[drop])
-                ovf_c.append(ec[drop])
-                ovf_v.append(ev[drop])
-                er, ec, ev = er[~drop], ec[~drop], ev[~drop]
-                urows, counts = urows[:LANES], counts[:LANES]
-            lane_of = {int(r): i for i, r in enumerate(urows)}
-            rem2_lane_of_row[urows] = np.arange(urows.size)
-            if urows.size < LANES:
-                rem2_pad_lane[b] = urows.size
-            slen = np.zeros(LANES, dtype=np.int64)
-            slen[:counts.size] = np.minimum(counts, SUB * W8_CLASSES[-1])
-            ex = counts > SUB * W8_CLASSES[-1]
+            lane_of = {int(r): i for i, r in enumerate(slice_rows)}
             lanes_e = np.array([lane_of[int(r)] for r in er])
-            # local index of each element within its lane (col-sorted)
             order2 = np.lexsort((ec, lanes_e))
             lanes_e, ec, ev, er = (lanes_e[order2], ec[order2],
                                    ev[order2], er[order2])
             starts = np.zeros(LANES + 1, dtype=np.int64)
-            cnt_by_lane = np.bincount(lanes_e, minlength=LANES)
-            np.cumsum(cnt_by_lane, out=starts[1:])
+            cnts = np.bincount(lanes_e, minlength=LANES)
+            np.cumsum(cnts, out=starts[1:])
             local = np.arange(lanes_e.size) - starts[lanes_e]
-            if ex.any():
-                drop = local >= SUB * W8_CLASSES[-1]
-                ovf_r.append(er[drop])
-                ovf_c.append(ec[drop])
-                ovf_v.append(ev[drop])
-                lanes_e, ec, ev, local = (lanes_e[~drop], ec[~drop],
-                                          ev[~drop], local[~drop])
-            w8 = _choose_w8(slen, config.threshold)
-            while SUB * w8 < slen.max() and w8 != W8_CLASSES[-1]:
-                w8 = W8_CLASSES[W8_CLASSES.index(w8) + 1]
-            tiles = []
-            p_used = 1
-            c = np.maximum(1, -(-slen // w8))
-            for v in range(w8):
-                lo = c[lanes_e] * v
-                in_v = (local >= lo) & (local < lo + c[lanes_e])
-                if not in_v.any():
-                    tiles.append((np.zeros((SUB, LANES)),
-                                  np.zeros((SUB, LANES), dtype=np.int64),
-                                  np.empty(0, dtype=np.int64)))
-                    continue
-                vt, it, wl, om = _route_vreg(
-                    lanes_e[in_v], local[in_v] - lo[in_v],
-                    ec[in_v], ev[in_v], p_cap)
-                if om.any():
-                    sel_v = np.flatnonzero(in_v)[om]
-                    ovf_r.append(er[sel_v])
-                    ovf_c.append(ec[sel_v])
-                    ovf_v.append(ev[sel_v])
-                p_used = max(p_used, wl.size)
-                tiles.append((vt, it, wl))
-            packets.append(_Packet("rem2", w8, _p_class(p_used, p_cap),
-                                   tiles, int(b)))
 
-    # ---- long rows (original row order -> scalar order) -----------------
+            w8 = _choose_w8(np.minimum(cnts, SUB * W8_CLASSES[-1]),
+                            config.threshold)
+            best = None
+            while True:
+                cap = SUB * w8
+                keepm = local < cap
+                n_drop = int((~keepm).sum())
+                slen = np.minimum(cnts, cap)
+                c = np.maximum(1, -(-slen // w8))
+                tiles, p_used, n_ovf, ovfs = [], 1, 0, []
+                for v in range(w8):
+                    lo = c[lanes_e] * v
+                    in_v = keepm & (local >= lo) & (local < lo + c[lanes_e])
+                    if not in_v.any():
+                        tiles.append((np.zeros((SUB, LANES)),
+                                      np.zeros((SUB, LANES),
+                                               dtype=np.int64),
+                                      np.empty(0, dtype=np.int64)))
+                        continue
+                    vt, it, wl, om = _route_vreg(
+                        lanes_e[in_v], local[in_v] - lo[in_v],
+                        ec[in_v], ev[in_v], p_cap)
+                    if om.any():
+                        sel_v = np.flatnonzero(in_v)[om]
+                        n_ovf += sel_v.size
+                        ovfs.append(sel_v)
+                    p_used = max(p_used, wl.size)
+                    tiles.append((vt, it, wl))
+                lost = n_ovf + n_drop   # conflicts AND capacity drops
+                cand = (tiles, p_used, n_ovf, ovfs, cap, lost)
+                if best is None or lost < best[5]:
+                    best = cand
+                if (lost <= 0.05 * max(lanes_e.size, 1)
+                        or w8 == W8_CLASSES[-1]):
+                    break
+                w8 = W8_CLASSES[W8_CLASSES.index(w8) + 1]
+            tiles, p_used, n_ovf, ovfs, cap, _ = best
+            w8 = len(tiles)
+            # conflicts -> next level / COO
+            for sel_v in ovfs:
+                left_r.append(er[sel_v])
+                left_c.append(ec[sel_v])
+                left_v.append(ev[sel_v])
+            # beyond-capacity elements -> fragments
+            dropm = local >= cap
+            if dropm.any():
+                for r in np.unique(er[dropm]):
+                    selr = dropm & (er == r)
+                    add_frag(int(r), ec[selr], ev[selr])
+            packets.append(_Packet(kind, w8, _p_class(p_used, p_cap),
+                                   tiles, sid))
+
+        cur_rows, cur_blocks, cur_count = [], [], 0
+        for b in np.unique(ublocks):
+            if cur_blocks and b - cur_blocks[0] >= NEIGHBORHOOD:
+                emit(np.concatenate(cur_rows), cur_blocks)
+                cur_rows, cur_blocks, cur_count = [], [], 0
+            br = urows_all[ublocks == b]
+            if br.size > CAPL:
+                cnts_b = row_counts[np.searchsorted(urows_all, br)]
+                keep = br[np.argsort(-cnts_b, kind="stable")[:CAPL]]
+                for r in np.setdiff1d(br, keep):
+                    i = int(np.searchsorted(urows_all, r))
+                    s0, s1 = row_start[i], row_start[i + 1]
+                    add_frag(int(r), o_cols[s0:s1], o_vals[s0:s1])
+                br = np.sort(keep)
+            if cur_count + br.size > CAPL and cur_count:
+                emit(np.concatenate(cur_rows), cur_blocks)
+                cur_rows, cur_blocks, cur_count = [], [], 0
+            cur_rows.append(br)
+            cur_blocks.append(int(b))
+            cur_count += br.size
+        if cur_count:
+            emit(np.concatenate(cur_rows), cur_blocks)
+        if left_r:
+            return (np.concatenate(left_r), np.concatenate(left_c),
+                    np.concatenate(left_v))
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                np.empty(0))
+
+    if ovf_r:
+        o_r = np.concatenate(ovf_r)
+        o_c = np.concatenate(ovf_c)
+        o_v = np.concatenate(ovf_v)
+        ovf_r.clear()
+        ovf_c.clear()
+        ovf_v.clear()
+        for level in range(2):
+            if o_r.size == 0:
+                break
+            o_r, o_c, o_v = build_shared_level(level, o_r, o_c, o_v)
+        if o_r.size:
+            ovf_r.append(o_r)
+            ovf_c.append(o_c)
+            ovf_v.append(o_v)
+
+    # ---- long rows + fragments (original row order -> scalar order) -----
     long_rows = np.flatnonzero(is_long)
-    scalar_pos_of_row = {int(r): i for i, r in enumerate(long_rows)}
-    for row in long_rows:
-        base, ln = int(rpt[row]), int(lens[row])
-        colv = cols_all[base:base + ln]
+    scalar_owners = sorted(set(long_rows.tolist()) | set(frags))
+    scalar_pos_of_row = {int(r): i for i, r in enumerate(scalar_owners)}
+    for row in scalar_owners:
+        if is_long[row]:
+            base, ln = int(rpt[row]), int(lens[row])
+            colv = cols_all[base:base + ln]
+            valv = vals_all[base:base + ln]
+        else:
+            colv, valv = frags[row]
+            ln = colv.size
         o = np.argsort(colv, kind="stable")
-        colv, valv = colv[o], vals_all[base:base + ln][o]
+        colv, valv = colv[o], valv[o]
         L = -(-ln // LANES)
         nv = -(-L // SUB)
         t = np.arange(ln)
@@ -482,14 +536,14 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     long_groups: List[LongGroup] = []
     stream_idx: Dict[int, int] = {}
     y2_row_of_block = np.full(B, -1, dtype=np.int64)   # primary slice row
-    y2_row_of_rem = np.full(B, -1, dtype=np.int64)
-    y2_row_of_rem2 = np.full(B, -1, dtype=np.int64)
+    y2_row_of_remslice = [np.full(max(ns, 1), -1, dtype=np.int64)
+                          for ns in n_rem_slices]
     out_row = 0
 
     for cls in cls_list:
         stream_idx[cls] = len(streams)
         mine = [p for p in packets if p.cls == cls]
-        kind_rank = {"sell": 0, "rem": 1, "rem2": 2, "long": 3}
+        kind_rank = {"sell": 0, "rem2": 1, "rem3": 2, "long": 3}
         mine.sort(key=lambda p: (kind_rank[p.kind], p.w8, p.block))
         vals_parts, idx_parts, win_parts = [], [], []
         vreg_cursor = 0
@@ -510,10 +564,10 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                     win_parts.append(wl)
                 if p.kind == "sell":
                     y2_row_of_block[p.block] = out_row
-                elif p.kind == "rem":
-                    y2_row_of_rem[p.block] = out_row
+                elif p.kind == "rem2":
+                    y2_row_of_remslice[0][p.block] = out_row
                 else:
-                    y2_row_of_rem2[p.block] = out_row
+                    y2_row_of_remslice[1][p.block] = out_row
                 out_row += 1
                 vreg_cursor += p.w8
             i = j
@@ -555,7 +609,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                                win_counts=counts))
 
     # long scalar rows appended to y2 after the slice rows
-    n_long = long_rows.size
+    n_long = len(scalar_owners)
     n_long_rows = -(-n_long // LONG_PACK) if n_long else 0
     long_row_base = out_row
     n_y2_rows = out_row + n_long_rows
@@ -577,20 +631,17 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             # no pad lane but non-sell rows exist: impossible (non-sell
             # rows create pads); guard anyway
             out_src[b, 0] = Z if nlanes == 0 else out_src[b, 0]
-        # k=1: remainder slice
-        if y2_row_of_rem[b] >= 0:
-            out_src[b, 1] = y2_row_of_rem[b]
-            lanes1 = rem_lane_of_row[rows]
-            out_perm[b, 1, :nlanes] = np.where(
-                lanes1 >= 0, lanes1, max(rem_pad_lane[b], 0))
-        # k=2: conflict-reroute slice
-        if y2_row_of_rem2[b] >= 0:
-            out_src[b, 2] = y2_row_of_rem2[b]
-            lanes2 = rem2_lane_of_row[rows]
-            out_perm[b, 2, :nlanes] = np.where(
-                lanes2 >= 0, lanes2, max(rem2_pad_lane[b], 0))
-        # k=3,4: long scalars (contiguous in row order within the block)
-        lmask = is_long[rows]
+        # k=1,2: re-routed tails/conflict slices (shared; lane 127 is
+        # the reserved zero pad)
+        for level in range(2):
+            sid = rem_slice_of_block[level][b]
+            if sid >= 0:
+                out_src[b, 1 + level] = y2_row_of_remslice[level][sid]
+                lanes2 = rem_lane_of_row[level][rows]
+                out_perm[b, 1 + level, :nlanes] = np.where(
+                    lanes2 >= 0, lanes2, LANES - 1)
+        # k=3,4: long/fragment scalars (contiguous in row order per block)
+        lmask = np.array([int(r) in scalar_pos_of_row for r in rows])
         if lmask.any():
             lrows = rows[lmask]
             pos = np.array([scalar_pos_of_row[int(r)] for r in lrows])

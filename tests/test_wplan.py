@@ -82,6 +82,10 @@ CASES = {
         300, 5000, rng.integers(1, 60, 300), rng),
     "wide_cols": lambda rng: random_csr(
         64, 300_000, rng.integers(1, 40, 64), rng),
+    # regression: duplicate columns + rem2 leftover fragments + misrouted
+    # overflow attribution (er not filtered with its siblings)
+    "powerlaw_deg": lambda rng: powerlaw_like(20_000, 1.7, 20_000, rng,
+                                              col_alpha=1.6),
 }
 
 
