@@ -53,8 +53,59 @@ def _load():
                                     ctypes.POINTER(ctypes.c_double)]
     lib.dasp_csr_free.restype = None
     lib.dasp_csr_free.argtypes = [ctypes.c_void_p]
+    try:
+        lib.dasp_route_vregs.restype = None
+        lib.dasp_route_vregs.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8)]
+    except AttributeError:
+        pass
     _LIB = lib
     return lib
+
+
+def route_vregs(offsets, lane, ipref, col, val, p_cap):
+    """Batch-route vregs via the C++ router.  Returns (vals_tiles
+    (V,8,128), idx_tiles (V,8,128) int64, wins (V,p_cap) int64,
+    win_counts (V,), overflow bool (n,))."""
+    lib = _load()
+    V = offsets.size - 1
+    n = int(offsets[-1])
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lane = np.ascontiguousarray(lane, dtype=np.int32)
+    ipref = np.ascontiguousarray(ipref, dtype=np.int32)
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    val = np.ascontiguousarray(val, dtype=np.float64)
+    vals_tiles = np.zeros((V, 8, 128), dtype=np.float64)
+    idx_tiles = np.zeros((V, 8, 128), dtype=np.int32)
+    wins = np.zeros((V, p_cap), dtype=np.int32)
+    win_counts = np.zeros(V, dtype=np.int32)
+    overflow = np.zeros(max(n, 1), dtype=np.uint8)
+    P = ctypes.POINTER
+    lib.dasp_route_vregs(
+        V, offsets.ctypes.data_as(P(ctypes.c_int64)),
+        lane.ctypes.data_as(P(ctypes.c_int32)),
+        ipref.ctypes.data_as(P(ctypes.c_int32)),
+        col.ctypes.data_as(P(ctypes.c_int64)),
+        val.ctypes.data_as(P(ctypes.c_double)),
+        p_cap,
+        vals_tiles.ctypes.data_as(P(ctypes.c_double)),
+        idx_tiles.ctypes.data_as(P(ctypes.c_int32)),
+        wins.ctypes.data_as(P(ctypes.c_int32)),
+        win_counts.ctypes.data_as(P(ctypes.c_int32)),
+        overflow.ctypes.data_as(P(ctypes.c_uint8)))
+    return (vals_tiles, idx_tiles, wins, win_counts,
+            overflow[:n].astype(bool))
+
+
+def has_router() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "dasp_route_vregs")
 
 
 def available() -> bool:

@@ -36,52 +36,80 @@ def to_f64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return np.asarray(hi, dtype=np.float64) + np.asarray(lo, dtype=np.float64)
 
 
-def two_sum(a, b) -> Pair:
+def _bar(x):
+    """Block XLA's algebraic simplifier (enabled on this runtime via
+    --xla_allow_excess_precision) from cancelling the error-free-transform
+    residuals.  Mosaic (Pallas) kernels don't run that pass, so the barrier
+    is only needed on the XLA-executed glue reductions."""
+    import jax
+    return jax.lax.optimization_barrier(x)
+
+
+def two_sum(a, b, safe: bool = False) -> Pair:
+    if safe:
+        s = _bar(a + b)
+        bb = _bar(s - a)
+        err = _bar(a - _bar(s - bb)) + _bar(b - bb)
+        return s, err
     s = a + b
     bb = s - a
     err = (a - (s - bb)) + (b - bb)
     return s, err
 
 
-def quick_two_sum(a, b) -> Pair:
+def quick_two_sum(a, b, safe: bool = False) -> Pair:
     """Requires |a| >= |b| (or a == 0)."""
+    if safe:
+        s = _bar(a + b)
+        err = b - _bar(s - a)
+        return s, err
     s = a + b
     err = b - (s - a)
     return s, err
 
 
-def split(a) -> Pair:
+def split(a, safe: bool = False) -> Pair:
+    if safe:
+        t = _bar(_SPLIT * a)
+        hi = t - _bar(t - a)
+        lo = a - _bar(hi)
+        return hi, lo
     t = _SPLIT * a
     hi = t - (t - a)
     lo = a - hi
     return hi, lo
 
 
-def two_prod(a, b) -> Pair:
+def two_prod(a, b, safe: bool = False) -> Pair:
     p = a * b
-    ah, al = split(a)
-    bh, bl = split(b)
-    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    ah, al = split(a, safe)
+    bh, bl = split(b, safe)
+    if safe:
+        err = (_bar(ah * bh - _bar(p)) + ah * bl + al * bh) + al * bl
+    else:
+        err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
     return p, err
 
 
-def add(ah, al, bh, bl) -> Pair:
+def add(ah, al, bh, bl, safe: bool = False) -> Pair:
     """(ah, al) + (bh, bl), renormalized."""
-    sh, sl = two_sum(ah, bh)
+    sh, sl = two_sum(ah, bh, safe)
     sl = sl + (al + bl)
-    return quick_two_sum(sh, sl)
+    return quick_two_sum(sh, sl, safe)
 
 
-def mul(ah, al, bh, bl) -> Pair:
+def mul(ah, al, bh, bl, safe: bool = False) -> Pair:
     """(ah, al) * (bh, bl), renormalized."""
-    ph, pl = two_prod(ah, bh)
+    ph, pl = two_prod(ah, bh, safe)
     pl = pl + (ah * bl + al * bh)
-    return quick_two_sum(ph, pl)
+    return quick_two_sum(ph, pl, safe)
 
 
-def sum_axis(h: jnp.ndarray, l: jnp.ndarray, axis: int) -> Pair:
+def sum_axis(h: jnp.ndarray, l: jnp.ndarray, axis: int,
+             safe: bool = False) -> Pair:
     """Exact-compensated reduction along ``axis`` via a pairwise tree of
-    dd-adds (log2(n) elementwise passes; n is static)."""
+    dd-adds (log2(n) elementwise passes; n is static).  Pass safe=True when
+    the reduction runs under XLA (not inside a Pallas kernel)."""
     n = h.shape[axis]
     if n == 1:
         return jnp.squeeze(h, axis), jnp.squeeze(l, axis)
@@ -93,10 +121,10 @@ def sum_axis(h: jnp.ndarray, l: jnp.ndarray, axis: int) -> Pair:
         return x[tuple(idx)]
 
     sh, sl = add(slc(h, 0, half), slc(l, 0, half),
-                 slc(h, half, half), slc(l, half, half))
-    rh, rl = sum_axis(sh, sl, axis)
+                 slc(h, half, half), slc(l, half, half), safe)
+    rh, rl = sum_axis(sh, sl, axis, safe)
     if n % 2:
         lh = jnp.squeeze(slc(h, n - 1, 1), axis)
         ll = jnp.squeeze(slc(l, n - 1, 1), axis)
-        rh, rl = add(rh, rl, lh, ll)
+        rh, rl = add(rh, rl, lh, ll, safe)
     return rh, rl

@@ -386,6 +386,18 @@ def plan_to_arrays(plan, dtype: str = "f32", depth: int = 0):
             from . import dd as _dd
             entry["vals_hi"], entry["vals_lo"] = _dd.from_f64(
                 o.values.astype(np.float64))
+            # per-row compensated reduction tree: (R_o, C_pad) indices into
+            # the product stream (pad -> the appended zero product), so the
+            # row sums keep dd precision instead of f32 scatter-adds
+            lens_o = o.row_lengths
+            urows = np.flatnonzero(lens_o > 0)
+            cmax = 1 << int(np.ceil(np.log2(max(int(lens_o.max()), 1))))
+            tree = np.full((urows.size, cmax), o.nnz, dtype=np.int32)
+            for k, rr in enumerate(urows):
+                s0, s1 = int(o.row_ptr[rr]), int(o.row_ptr[rr + 1])
+                tree[k, :s1 - s0] = np.arange(s0, s1)
+            entry["tree"] = tree
+            entry["tree_rows"] = urows.astype(np.int32)
         else:
             entry["vals"] = o.values.astype(np.float32)
         arrays["overflow"] = entry
@@ -480,7 +492,8 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
         ph = partials[stream][0][off:off + n_slices * w8]
         plo = partials[stream][1][off:off + n_slices * w8]
         sh, sl = dd.sum_axis(ph.reshape(n_slices, w8, LANES),
-                             plo.reshape(n_slices, w8, LANES), 1)
+                             plo.reshape(n_slices, w8, LANES), 1,
+                             safe=True)
         y2h_parts.append(sh)
         y2l_parts.append(sl)
 
@@ -490,7 +503,7 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
         for stream, li in meta.long_groups:
             if vreg_totals[stream] is None:
                 th, tl = dd.sum_axis(partials[stream][0],
-                                     partials[stream][1], 1)
+                                     partials[stream][1], 1, safe=True)
                 vreg_totals[stream] = (
                     jnp.concatenate([th, jnp.zeros(1, th.dtype)]),
                     jnp.concatenate([tl, jnp.zeros(1, tl.dtype)]))
@@ -498,7 +511,7 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
             th, tl = vreg_totals[stream]
             gh = jnp.take(th, idxm, mode="clip")
             gl = jnp.take(tl, idxm, mode="clip")
-            sh, sl = dd.sum_axis(gh, gl, 1)
+            sh, sl = dd.sum_axis(gh, gl, 1, safe=True)
             souts_h.append(sh)
             souts_l.append(sl)
         sc_h = jnp.concatenate(souts_h)[arrays["long_inv"]]
@@ -526,9 +539,16 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
         o = arrays["overflow"]
         gh = jnp.take(xh.reshape(-1), o["cols"], mode="clip")
         gl = jnp.take(xl.reshape(-1), o["cols"], mode="clip")
-        ph, plo = dd.mul(o["vals_hi"], o["vals_lo"], gh, gl)
-        yh = yh.at[o["rows"]].add(ph, mode="drop")
-        yl = yl.at[o["rows"]].add(plo, mode="drop")
+        ph, plo = dd.mul(o["vals_hi"], o["vals_lo"], gh, gl, safe=True)
+        # per-row compensated tree sums, then a single exact placement
+        ph = jnp.concatenate([ph, jnp.zeros(1, jnp.float32)])
+        plo = jnp.concatenate([plo, jnp.zeros(1, jnp.float32)])
+        th = jnp.take(ph, o["tree"], mode="clip")
+        tl = jnp.take(plo, o["tree"], mode="clip")
+        rh, rl = dd.sum_axis(th, tl, 1, safe=True)
+        zh = jnp.zeros_like(yh).at[o["tree_rows"]].set(rh, mode="drop")
+        zl = jnp.zeros_like(yl).at[o["tree_rows"]].set(rl, mode="drop")
+        yh, yl = dd.add(yh, yl, zh, zl, safe=True)
     return dict(hi=yh, lo=yl)
 
 

@@ -131,10 +131,50 @@ class WPlan:
 # ---------------------------------------------------------------------------
 
 
+_NATIVE_ROUTER = None
+
+
+def _native_router():
+    global _NATIVE_ROUTER
+    if _NATIVE_ROUTER is None:
+        try:
+            from .io import native
+            _NATIVE_ROUTER = native if native.has_router() else False
+        except Exception:
+            _NATIVE_ROUTER = False
+    return _NATIVE_ROUTER
+
+
+def _route_vregs_batch(parts, p_cap: int):
+    """Route a batch of vregs: ``parts`` is a list of (lane, ipref, col,
+    val) tuples, one per vreg.  Returns a list of (vals_tile, idx_tile,
+    win_list, overflow_mask) in the same order.  Uses the native C++ router
+    in ONE call when built."""
+    nat = _native_router()
+    if nat and parts:
+        sizes = np.array([p[0].size for p in parts], dtype=np.int64)
+        offsets = np.zeros(len(parts) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        lane = np.concatenate([p[0] for p in parts])
+        ipref = np.concatenate([p[1] for p in parts])
+        col = np.concatenate([p[2] for p in parts])
+        val = np.concatenate([p[3] for p in parts])
+        vt, it, wins, wc, ovf = nat.route_vregs(
+            offsets, lane, ipref, col, val, p_cap)
+        return [(vt[v], it[v], wins[v, :wc[v]],
+                 ovf[offsets[v]:offsets[v + 1]])
+                for v in range(len(parts))]
+    return [_route_vreg(*p, p_cap) for p in parts]
+
+
 def _route_vreg(lane: np.ndarray, ipref: np.ndarray, col: np.ndarray,
                 val: np.ndarray, p_cap: int):
     """Route one vreg's elements into slots.  Returns (vals_tile, idx_tile,
-    win_list, overflow_mask)."""
+    win_list, overflow_mask).  Uses the native C++ router (native/router.cpp)
+    when built; the numpy implementation below is the semantics oracle."""
+    nat = _native_router()
+    if nat:
+        return _route_vregs_batch([(lane, ipref, col, val)], p_cap)[0]
     n = lane.size
     w = (col // VREG) * SUB
     q_rel = (col // LANES) % SUB
@@ -258,26 +298,22 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         """Route one slice at width w8 without committing overflow.  Each
         row's elements are spread evenly over the w8 vregs (chunk height
         ceil(len/w8)), so widening genuinely lowers per-vreg cell load."""
+        c = np.maximum(1, -(-slen // w8))          # per-row chunk height
+        parts = []
+        for v in range(w8):
+            lo = v * c
+            take = np.clip(slen - lo, 0, c)
+            lanes_v = np.repeat(np.arange(LANES), take)
+            iprefs = (np.concatenate([np.arange(t) for t in take])
+                      if take.any() else np.empty(0, dtype=np.int64))
+            elem = np.repeat(base + lo, take) + iprefs
+            parts.append((lanes_v, iprefs, cols_all[elem], vals_all[elem]))
+        routed = _route_vregs_batch(parts, p_cap)
         tiles = []
         p_used = 1
         n_ovf = 0
         ovf_local = []
-        c = np.maximum(1, -(-slen // w8))          # per-row chunk height
-        for v in range(w8):
-            lo = v * c
-            take = np.clip(slen - lo, 0, c)
-            if int(take.sum()) == 0:
-                tiles.append((np.zeros((SUB, LANES)),
-                              np.zeros((SUB, LANES), dtype=np.int64),
-                              np.empty(0, dtype=np.int64)))
-                continue
-            lanes_v = np.repeat(np.arange(LANES), take)
-            iprefs = np.concatenate(
-                [np.arange(t) for t in take]) if take.any() else \
-                np.empty(0, dtype=np.int64)
-            elem = np.repeat(base + lo, take) + iprefs
-            colv, valv = cols_all[elem], vals_all[elem]
-            vt, it, wl, om = _route_vreg(lanes_v, iprefs, colv, valv, p_cap)
+        for (lanes_v, _, colv, valv), (vt, it, wl, om) in zip(parts, routed):
             if om.any():
                 n_ovf += int(om.sum())
                 ovf_local.append((lanes_v[om], colv[om], valv[om]))
@@ -500,6 +536,10 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     long_rows = np.flatnonzero(is_long)
     scalar_owners = sorted(set(long_rows.tolist()) | set(frags))
     scalar_pos_of_row = {int(r): i for i, r in enumerate(scalar_owners)}
+    # Phase 1: build every long vreg's element arrays, route them all in
+    # ONE native batch call, then assemble packets.
+    long_parts = []
+    long_spans = []            # (row, n_vregs)
     for row in scalar_owners:
         if is_long[row]:
             base, ln = int(rpt[row]), int(lens[row])
@@ -510,24 +550,31 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             ln = colv.size
         o = np.argsort(colv, kind="stable")
         colv, valv = colv[o], valv[o]
-        L = -(-ln // LANES)
-        nv = -(-L // SUB)
+        nv = -(-(-(-ln // LANES)) // SUB)
         t = np.arange(ln)
         g, lane = t // LANES, t % LANES
+        for v in range(nv):
+            sel = slice(v * VREG, min((v + 1) * VREG, ln))
+            long_parts.append((lane[sel], g[sel] % SUB, colv[sel],
+                               valv[sel]))
+        long_spans.append((int(row), nv))
+    routed = _route_vregs_batch(long_parts, p_cap)
+    cursor = 0
+    for row, nv in long_spans:
         tiles = []
         p_used = 1
         for v in range(nv):
-            sel = (g // SUB) == v
-            vt, it, wl, om = _route_vreg(lane[sel], g[sel] % SUB,
-                                         colv[sel], valv[sel], p_cap)
+            lanes_v, _, colv, valv = long_parts[cursor]
+            vt, it, wl, om = routed[cursor]
+            cursor += 1
             if om.any():
                 ovf_r.append(np.full(int(om.sum()), row))
-                ovf_c.append(colv[sel][om])
-                ovf_v.append(valv[sel][om])
+                ovf_c.append(colv[om])
+                ovf_v.append(valv[om])
             p_used = max(p_used, wl.size)
             tiles.append((vt, it, wl))
         packets.append(_Packet("long", nv, _p_class(p_used, p_cap), tiles,
-                               int(row)))
+                               row))
 
     # ---- assembly --------------------------------------------------------
     cls_list = sorted({p.cls for p in packets})
@@ -597,16 +644,15 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         nv = len(win_parts)
         if nv == 0:
             continue
-        vals = np.stack(vals_parts).reshape(nv * SUB, LANES)
-        idx = np.stack(idx_parts).reshape(nv * SUB, LANES)
-        wins = np.zeros((nv, cls), dtype=np.int64)
+        vals = np.concatenate(vals_parts, axis=0)
+        idx = np.concatenate(idx_parts, axis=0).astype(np.int32, copy=False)
+        wins = np.zeros((nv, cls), dtype=np.int32)
         counts = np.zeros(nv, dtype=np.int32)
         for k, wl in enumerate(win_parts):
             wins[k, :wl.size] = wl
             counts[k] = wl.size
-        streams.append(WStream(P=cls, vals=vals, idx=idx.astype(np.int32),
-                               wins=wins.astype(np.int32),
-                               win_counts=counts))
+        streams.append(WStream(P=cls, vals=vals, idx=idx,
+                               wins=wins, win_counts=counts))
 
     # long scalar rows appended to y2 after the slice rows
     n_long = len(scalar_owners)

@@ -124,3 +124,18 @@ def test_pallas_interpret_matches_golden(rng, name):
     scale = np.maximum(np.abs(golden), 1.0)
     np.testing.assert_allclose(y / scale, golden / scale,
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("name", ["tiny", "mixed", "powerlaw"])
+def test_pallas_f64_dd_precision(rng, name):
+    """The dd-f64 path must hold ~double precision end to end (the
+    reference's fp64 contract is 1e-5, main_f64.cu:8; we target 1e-10)."""
+    from dasp_tpu.ops.pallas_backend import PallasSpMV
+    csr = CASES[name](rng)
+    op = PallasSpMV(csr, dtype="f64")
+    x = rng.standard_normal(csr.n_cols)
+    y = op(x)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(y / scale, golden / scale,
+                               rtol=1e-10, atol=1e-10)
