@@ -45,7 +45,7 @@ def main() -> int:
     warmup = args.warmup if args.warmup is not None else (10 if args.quick
                                                           else 100)
     iters = args.iters if args.iters is not None else (50 if args.quick
-                                                       else 1000)
+                                                       else 300)
     dtypes = args.dtypes.split(",")
 
     if args.mtx:

@@ -30,6 +30,8 @@ def append_record(path: str, row: Dict) -> None:
 
 def record_from(plan, result, name: str, dtype: str,
                 baseline=None) -> Dict:
+    from .harness import data_models
+    data1, _ = data_models(plan.n_rows, plan.n_cols, plan.nnz, dtype)
     c = plan.census
     row = dict(
         filename=name, rowA=plan.n_rows, colA=plan.n_cols, nnzA=plan.nnz,
@@ -42,7 +44,7 @@ def record_from(plan, result, name: str, dtype: str,
         nnz_irreg=int(plan.stats.get("nnz_irreg", 0)),
         rate_fill0=round(plan.stats.get("rate_fill0", 0.0), 4),
         block_longest=plan.config.block_longest,
-        data_X="",
+        data_X=data1,
         dasp_pre=round(result.preprocess_seconds * 1e3, 3),
         dasp_time=round(result.seconds_per_iter * 1e3, 6),
         dasp_gflops=round(result.gflops, 3),
