@@ -306,7 +306,8 @@ MAX_OVERFLOW_DEPTH = 2
 XLA_OVERFLOW_MAX = 512     # below this, the XLA gather path is cheap enough
 
 
-def plan_to_arrays(plan, dtype: str = "f32", depth: int = 0):
+def plan_to_arrays(plan, dtype: str = "f32", depth: int = 0,
+                   include_overflow: bool = True):
     from ..sparse import CSRMatrix
     if isinstance(plan, CSRMatrix):
         plan = build_wplan(plan)
@@ -362,7 +363,7 @@ def plan_to_arrays(plan, dtype: str = "f32", depth: int = 0):
         arrays["long_inv"] = np.zeros(0, dtype=np.int32)
 
     B = plan.out_src.shape[0]
-    B_pad = -(-B // OB) * OB
+    B_pad = max(OB, -(-B // OB) * OB)
     Z_final = plan.n_y2_rows                     # zero row index in y2
     src = np.full((B_pad, K_SOURCES), Z_final, dtype=np.int32)
     src[:B] = plan.out_src
@@ -378,7 +379,7 @@ def plan_to_arrays(plan, dtype: str = "f32", depth: int = 0):
     # gather + scatter-add (cheap because the element count is tiny).
     overflow_meta = None
     arrays["overflow"] = None
-    if plan.overflow is not None and plan.overflow.nnz:
+    if include_overflow and plan.overflow is not None and plan.overflow.nnz:
         o = plan.overflow
         rows = np.repeat(np.arange(o.n_rows), o.row_lengths).astype(np.int32)
         entry = dict(rows=rows, cols=o.col_idx.astype(np.int32))

@@ -210,6 +210,100 @@ def _harmonize(metas: List[PlanMeta], ts: List[dict]) -> Tuple[PlanMeta, dict]:
     return meta, stacked
 
 
+class WMultiChipSpMV:
+    """Row-partitioned SpMV over a 1-D mesh on the windowed Pallas backend.
+
+    Each chip owns the packed plan of a contiguous slab of 128-row blocks;
+    x is sharded by rows and replicated on-chip with ``jax.lax.all_gather``
+    over the ICI mesh axis (the only communication — a row partition makes
+    y outputs disjoint, SURVEY.md §5).  Per-chip plans are rewritten to one
+    canonical shape signature (``wplan.harmonize_wplans``) so shard_map
+    traces a single program over the stacked plan arrays.
+    """
+
+    def __init__(self, csr: CSRMatrix, devices=None, dtype: str = "f32",
+                 config: DaspConfig = DEFAULT_CONFIG):
+        from .wplan import build_wplan, harmonize_wplans, LANES
+        from .ops import pallas_backend as pb
+
+        devices = devices if devices is not None else jax.devices()
+        self.n_devices = len(devices)
+        self.mesh = Mesh(np.array(devices), ("x",))
+        self.dtype = dtype
+        self.n_rows, self.n_cols = csr.n_rows, csr.n_cols
+
+        # contiguous slabs of whole 128-row blocks, nnz-balanced
+        raw = partition_rows(csr, self.n_devices)
+        bounds = [0]
+        for s, e in raw[:-1]:
+            bounds.append(min((-(-e // LANES)) * LANES, csr.n_rows))
+        bounds.append(csr.n_rows)
+        bounds = sorted(set(bounds))
+        while len(bounds) < self.n_devices + 1:
+            bounds.append(csr.n_rows)
+        self.slabs = [(bounds[i], bounds[i + 1])
+                      for i in range(self.n_devices)]
+
+        plans = [build_wplan(slab_csr(csr, s, e), config)
+                 for s, e in self.slabs]
+        self.overflows = [p.overflow for p in plans]
+        plans = harmonize_wplans(plans)
+        lowered = [pb.plan_to_arrays(p, dtype, include_overflow=False)
+                   for p in plans]
+        metas = [m for m, _ in lowered]
+        assert all(m == metas[0] for m in metas[1:]), \
+            "harmonized plans must share one meta"
+        self.meta = metas[0]
+        stacked = jax.tree.map(lambda *xs: np.stack(xs),
+                               *[a for _, a in lowered])
+
+        meta = self.meta
+        mesh = self.mesh
+
+        def step(arrays, x_shard):
+            x_full = jax.tree.map(
+                lambda a: jax.lax.all_gather(a, "x", tiled=True), x_shard)
+            if meta.dtype == "f64":
+                x2d = dict(hi=x_full["hi"].reshape(meta.s_rows, LANES),
+                           lo=x_full["lo"].reshape(meta.s_rows, LANES))
+            else:
+                x2d = x_full.reshape(meta.s_rows, LANES)
+            local = jax.tree.map(lambda a: a[0], arrays)
+            y = pb.spmv_fn(meta, local, x2d)
+            if meta.dtype == "f64":
+                return jnp.stack([y["hi"], y["lo"]])[None]
+            return y[None]
+
+        self._step = jax.jit(jax.shard_map(
+            step, mesh=mesh, in_specs=(P("x"), P("x")), out_specs=P("x"),
+            check_vma=False))
+        self._arrays = jax.device_put(stacked, NamedSharding(mesh, P("x")))
+        self._x_sharding = NamedSharding(mesh, P("x"))
+        self._pb = pb
+
+    def _prep_x(self, x):
+        from .wplan import LANES
+        total = self.meta.s_rows * LANES
+        xp = np.zeros(total, dtype=np.float64)
+        xp[:self.n_cols] = np.asarray(x)[:self.n_cols]
+        if self.dtype == "f64":
+            hi, lo = dd.from_f64(xp)
+            return jax.device_put(dict(hi=hi, lo=lo), self._x_sharding)
+        return jax.device_put(xp.astype(np.float32), self._x_sharding)
+
+    def __call__(self, x) -> np.ndarray:
+        y = np.asarray(jax.device_get(
+            self._step(self._arrays, self._prep_x(x))), dtype=np.float64)
+        out = np.zeros(self.n_rows, dtype=np.float64)
+        for d, (start, end) in enumerate(self.slabs):
+            part = y[d, 0] + y[d, 1] if self.dtype == "f64" else y[d]
+            out[start:end] = part[:end - start]
+            ovf = self.overflows[d]
+            if ovf is not None:
+                out[start:end] += ovf.spmv(np.asarray(x))[:end - start]
+        return out
+
+
 class MultiChipSpMV:
     """Row-partitioned SpMV over a 1-D mesh: y_shard = A_slab @ allgather(x).
 

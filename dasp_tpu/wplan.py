@@ -286,7 +286,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     cols_all = csr.col_idx.astype(np.int64)
     vals_all = csr.values.astype(np.float64)
 
-    B = max(1, -(-n // LANES))
+    B = -(-n // LANES)           # 0 for an empty slab (multi-chip padding)
     is_long = lens >= config.block_longest
 
     packets: List[_Packet] = []
@@ -738,3 +738,225 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         out_perm=out_perm.reshape(B * K_SOURCES, LANES).astype(np.int32),
         n_y2_rows=int(n_y2_rows), overflow=overflow,
         census=census, stats=stats)
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip harmonization
+# ---------------------------------------------------------------------------
+
+
+def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
+    """Rewrite per-chip plans into ONE canonical shape signature so that
+    ``shard_map`` can trace a single program over stacked arrays.
+
+    Canonical form: for every P-class in the union, the stream holds the
+    union's (segment-key -> max slice count) slices in a fixed order (pad
+    slices are all-zero vregs), followed by a long-vreg tail padded to the
+    max; long groups exist for every (P, nv_c) in the union, padded to the
+    max row count with sentinel gather rows.  All plans come out with
+    identical stream shapes, segment tuples, long-group shapes, B, n_long
+    and n_y2_rows — only array *contents* differ.
+    """
+    # --- canonical stream signature -----------------------------------
+    # segment key order within a stream follows the builder: (w8) for sell
+    # runs first... segments already come out ordered; key = (P, seg_index
+    # features). We key by (P, position-invariant (w8, remainder-rank)).
+    # The builder emits segments sorted by (kind_rank, w8, block) and merges
+    # equal-(kind,w8) runs, but *kind* is not stored on SellSegment; we
+    # recover a canonical key from (w8, order) by keying on w8 plus the
+    # ordinal among same-w8 segments (kinds produce at most 3 runs per w8).
+    def seg_keys(plan):
+        keys = []
+        per_stream_count: Dict[Tuple[int, int, int], int] = {}
+        for seg in plan.sell:
+            P = plan.streams[seg.stream].P
+            k = per_stream_count.get((seg.stream, seg.w8, 0), 0)
+            per_stream_count[(seg.stream, seg.w8, 0)] = k + 1
+            keys.append((P, seg.w8, k))
+        return keys
+
+    all_P = sorted({s.P for p in plans for s in p.streams})
+    seg_sig: Dict[Tuple[int, int, int], int] = {}     # key -> max n_slices
+    for p in plans:
+        for seg, key in zip(p.sell, seg_keys(p)):
+            seg_sig[key] = max(seg_sig.get(key, 0), seg.n_slices)
+    long_sig: Dict[Tuple[int, int], int] = {}         # (P, nv_c) -> max R
+    long_tail: Dict[int, int] = {c: 0 for c in all_P}  # P -> max tail vregs
+    for p in plans:
+        for lg in p.longs:
+            P = p.streams[lg.stream].P
+            key = (P, lg.idx.shape[1])
+            long_sig[key] = max(long_sig.get(key, 0), lg.idx.shape[0])
+        # tail vregs per stream = NV - sum of sell segment vregs
+        for si, s in enumerate(p.streams):
+            sell_v = sum(seg.n_slices * seg.w8 for seg in p.sell
+                         if seg.stream == si)
+            long_tail[s.P] = max(long_tail[s.P], s.n_vregs - sell_v)
+
+    B_max = max(p.out_src.shape[0] for p in plans)
+    n_long_canon = sum(long_sig.values())
+    n_rows_max = max(p.n_rows for p in plans)
+
+    canon_keys = sorted(seg_sig)     # (P, w8, ordinal) ascending
+
+    out_plans: List[WPlan] = []
+    for p in plans:
+        keys = seg_keys(p)
+        by_key = {k: seg for seg, k in zip(p.sell, keys)}
+        stream_of_P = {s.P: i for i, s in enumerate(p.streams)}
+
+        new_streams: List[WStream] = []
+        new_sell: List[SellSegment] = []
+        new_longs: List[LongGroup] = []
+        # maps for fixing out_src and long idx
+        y2_map: Dict[int, int] = {}
+        new_out_row = 0
+        scalar_budget_used = 0
+
+        for P in all_P:
+            vals_parts, idx_parts, wins_parts, cnt_parts = [], [], [], []
+            vreg_cursor = 0
+            vreg_map_shift: Dict[int, int] = {}   # not needed per-seg; longs only
+            si = stream_of_P.get(P)
+            s = p.streams[si] if si is not None else None
+            max_p = P
+            for key in [k for k in canon_keys if k[0] == P]:
+                _, w8, _ = key
+                n_max = seg_sig[key]
+                seg = by_key.get(key)
+                have = seg.n_slices if seg is not None else 0
+                if seg is not None:
+                    lo = seg.vreg_offset * SUB
+                    hi = (seg.vreg_offset + have * w8) * SUB
+                    vals_parts.append(s.vals[lo:hi])
+                    idx_parts.append(s.idx[lo:hi])
+                    wins_parts.append(s.wins[seg.vreg_offset:
+                                             seg.vreg_offset + have * w8])
+                    cnt_parts.append(s.win_counts[seg.vreg_offset:
+                                                  seg.vreg_offset
+                                                  + have * w8])
+                    for k2 in range(have):
+                        y2_map[seg.out_row + k2] = new_out_row + k2
+                pad = (n_max - have) * w8
+                if pad:
+                    vals_parts.append(np.zeros((pad * SUB, LANES)))
+                    idx_parts.append(np.zeros((pad * SUB, LANES),
+                                              dtype=np.int32))
+                    wins_parts.append(np.zeros((pad, s.wins.shape[1]
+                                                if s is not None else P),
+                                               dtype=np.int32))
+                    cnt_parts.append(np.ones(pad, dtype=np.int32))
+                new_sell.append(SellSegment(
+                    stream=len(new_streams), vreg_offset=vreg_cursor,
+                    n_slices=n_max, w8=w8, out_row=new_out_row))
+                new_out_row += n_max
+                vreg_cursor += n_max * w8
+
+            # long tail for this P-class
+            sell_v = (sum(seg.n_slices * seg.w8 for seg in p.sell
+                          if seg.stream == si) if si is not None else 0)
+            tail_v = (s.n_vregs - sell_v) if s is not None else 0
+            tail_shift = vreg_cursor - sell_v
+            if tail_v:
+                lo = sell_v * SUB
+                vals_parts.append(s.vals[lo:])
+                idx_parts.append(s.idx[lo:])
+                wins_parts.append(s.wins[sell_v:])
+                cnt_parts.append(s.win_counts[sell_v:])
+            pad_tail = long_tail[P] - tail_v
+            if pad_tail:
+                vals_parts.append(np.zeros((pad_tail * SUB, LANES)))
+                idx_parts.append(np.zeros((pad_tail * SUB, LANES),
+                                          dtype=np.int32))
+                wins_parts.append(np.zeros((pad_tail, s.wins.shape[1]
+                                            if s is not None else P),
+                                           dtype=np.int32))
+                cnt_parts.append(np.ones(pad_tail, dtype=np.int32))
+            nv_new = vreg_cursor + long_tail[P]
+            if nv_new == 0:
+                new_streams.append(WStream(
+                    P=P, vals=np.zeros((0, LANES)),
+                    idx=np.zeros((0, LANES), dtype=np.int32),
+                    wins=np.zeros((0, P), dtype=np.int32),
+                    win_counts=np.zeros(0, dtype=np.int32)))
+                continue
+            wins_cat = np.concatenate([
+                w if w.shape[1] == P else
+                np.pad(w, ((0, 0), (0, P - w.shape[1])))
+                for w in wins_parts])
+            new_streams.append(WStream(
+                P=P,
+                vals=np.concatenate(vals_parts),
+                idx=np.concatenate(idx_parts).astype(np.int32),
+                wins=wins_cat.astype(np.int32),
+                win_counts=np.concatenate(cnt_parts).astype(np.int32)))
+            # remap long idx matrices of this stream
+            if si is not None:
+                nv_old = p.streams[si].n_vregs
+                for lg in p.longs:
+                    if lg.stream != si:
+                        continue
+                    idx = lg.idx.astype(np.int64)
+                    idx = np.where(idx >= nv_old, nv_new,
+                                   idx + tail_shift)
+                    new_longs.append(LongGroup(
+                        stream=len(new_streams) - 1,
+                        idx=idx.astype(np.int32),
+                        scalar_pos=lg.scalar_pos.copy()))
+
+        # pad long groups to the canonical (P, nv_c) signature
+        final_longs: List[LongGroup] = []
+        scalar_pad_cursor = p.n_long
+        for (P, nv_c) in sorted(long_sig):
+            R_max = long_sig[(P, nv_c)]
+            stream_id = all_P.index(P)
+            nv_new = new_streams[stream_id].n_vregs
+            match = [lg for lg in new_longs
+                     if lg.stream == stream_id and lg.idx.shape[1] == nv_c]
+            if match:
+                lg = match[0]
+                R = lg.idx.shape[0]
+                idx = np.full((R_max, nv_c), nv_new, dtype=np.int32)
+                idx[:R] = lg.idx
+                spos = np.zeros(R_max, dtype=np.int64)
+                spos[:R] = lg.scalar_pos
+            else:
+                R = 0
+                idx = np.full((R_max, nv_c), nv_new, dtype=np.int32)
+                spos = np.zeros(R_max, dtype=np.int64)
+            # pad rows get fresh scalar positions past the real ones
+            for k in range(R, R_max):
+                spos[k] = scalar_pad_cursor
+                scalar_pad_cursor += 1
+            final_longs.append(LongGroup(stream=stream_id, idx=idx,
+                                         scalar_pos=spos))
+
+        # canonical y2 layout: slice rows then long rows then zero row
+        n_long_rows = -(-n_long_canon // LONG_PACK) if n_long_canon else 0
+        old_slice_rows = p.n_y2_rows - (
+            (-(-p.n_long // LONG_PACK)) if p.n_long else 0)
+        old_long_base = old_slice_rows
+        for k in range((-(-p.n_long // LONG_PACK)) if p.n_long else 0):
+            y2_map[old_long_base + k] = new_out_row + k
+        n_y2_new = new_out_row + n_long_rows
+        y2_map[p.n_y2_rows] = n_y2_new          # zero row
+
+        src = p.out_src.astype(np.int64)
+        new_src = np.full((B_max, K_SOURCES), n_y2_new, dtype=np.int32)
+        for b in range(src.shape[0]):
+            for k in range(K_SOURCES):
+                new_src[b, k] = y2_map.get(int(src[b, k]), n_y2_new)
+        new_perm = np.zeros((B_max * K_SOURCES, LANES), dtype=np.int32)
+        new_perm[:p.out_perm.shape[0] // K_SOURCES * K_SOURCES] = 0
+        # out_perm is stored (B*K, LANES) row-major by block
+        B_old = p.out_src.shape[0]
+        new_perm[:B_old * K_SOURCES] = p.out_perm
+
+        out_plans.append(WPlan(
+            n_rows=B_max * LANES,   # padded; callers trim per-slab
+            n_cols=p.n_cols, nnz=p.nnz, config=p.config,
+            s_rows=p.s_rows, streams=new_streams, sell=new_sell,
+            longs=final_longs, n_long=n_long_canon,
+            out_src=new_src, out_perm=new_perm, n_y2_rows=n_y2_new,
+            overflow=p.overflow, census=p.census, stats=p.stats))
+    return out_plans

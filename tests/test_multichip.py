@@ -54,3 +54,30 @@ def test_multichip_powerlaw(rng):
     scale = np.maximum(np.abs(golden), 1.0)
     np.testing.assert_allclose(op(x) / scale, golden / scale,
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("dtype", ["f32", "f64"])
+def test_windowed_multichip_matches_golden(rng, dtype):
+    """Row-partitioned multi-chip SpMV on the windowed Pallas backend:
+    per-chip plans harmonized to one shape signature, x allgathered."""
+    from dasp_tpu.parallel import WMultiChipSpMV
+    csr = mixed_categories(1200, rng)
+    op = WMultiChipSpMV(csr, dtype=dtype)
+    assert op.n_devices == 8
+    x = rng.standard_normal(csr.n_cols)
+    y = op(x)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    tol = 2e-5 if dtype == "f32" else 1e-10
+    np.testing.assert_allclose(y / scale, golden / scale, rtol=tol, atol=tol)
+
+
+def test_windowed_multichip_powerlaw(rng):
+    from dasp_tpu.parallel import WMultiChipSpMV
+    csr = powerlaw_like(2000, 1.8, 4000, rng, col_alpha=1.6)
+    op = WMultiChipSpMV(csr, dtype="f32")
+    x = rng.standard_normal(csr.n_cols)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(op(x) / scale, golden / scale,
+                               rtol=2e-5, atol=2e-5)
