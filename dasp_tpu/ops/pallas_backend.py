@@ -61,7 +61,7 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool):
             parts = []
             for k in range(UNROLL):
                 v = u * UNROLL + k
-                idx = idx_ref[pl.ds(v * SUB, SUB), :]
+                idx = idx_ref[pl.ds(v * SUB, SUB), :].astype(jnp.int32)
                 vals = vals_ref[pl.ds(v * SUB, SUB), :]
                 lam = jax.lax.bitwise_and(idx, 127)
                 q = jax.lax.bitwise_and(
@@ -122,7 +122,7 @@ def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool):
             parts_h, parts_l = [], []
             for k in range(UNROLL):
                 v = u * UNROLL + k
-                idx = idx_ref[pl.ds(v * SUB, SUB), :]
+                idx = idx_ref[pl.ds(v * SUB, SUB), :].astype(jnp.int32)
                 vh = vh_ref[pl.ds(v * SUB, SUB), :]
                 vl = vl_ref[pl.ds(v * SUB, SUB), :]
                 lam = jax.lax.bitwise_and(idx, 127)
@@ -322,7 +322,9 @@ def plan_to_arrays(plan, dtype: str = "f32", depth: int = 0,
     for s in plan.streams:
         nv = s.n_vregs
         nv_pad = -(-max(nv, 1) // BV) * BV
-        idx = np.zeros((nv_pad * SUB, LANES), dtype=np.int32)
+        assert int(s.idx.max(initial=0)) <= np.iinfo(np.int16).max, \
+            "slot metadata must fit int16 (p_cap <= 32)"
+        idx = np.zeros((nv_pad * SUB, LANES), dtype=np.int16)
         # wins[:, 0] = per-vreg round count; wins[:, 1:] = window offsets
         wins = np.zeros((nv_pad, s.P + 1), dtype=np.int32)
         idx[:nv * SUB] = s.idx

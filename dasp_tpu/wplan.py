@@ -66,7 +66,7 @@ VREG = 1024
 LONG_PACK = 127          # long scalars per y2 row (lane 127 stays zero)
 
 W8_CLASSES = (1, 2, 4, 8, 16, 32)
-P_CLASSES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
+P_CLASSES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
 # output-gather sources per block:
 # [0] primary slice, [1]/[2] re-routed tails/conflicts (two shared levels),
 # [3]/[4] long-scalar rows
@@ -124,6 +124,28 @@ class WPlan:
     overflow: Optional[CSRMatrix]
     census: Dict[str, int]
     stats: Dict[str, float]
+
+    def check(self) -> None:
+        """Structural invariants: segments tile their streams exactly, long
+        gather ids stay in range, out tables reference valid y2 rows, and
+        no element is packed twice."""
+        used = [0] * len(self.streams)
+        for seg in self.sell:
+            end = seg.vreg_offset + seg.n_slices * seg.w8
+            assert seg.vreg_offset == used[seg.stream], (
+                f"segment gap in stream {seg.stream}: offset "
+                f"{seg.vreg_offset} != cursor {used[seg.stream]}")
+            assert end <= self.streams[seg.stream].n_vregs
+            used[seg.stream] = end
+        for lg in self.longs:
+            nv = self.streams[lg.stream].n_vregs
+            assert int(lg.idx.max(initial=0)) <= nv
+            assert int(lg.scalar_pos.max(initial=0)) < max(self.n_long, 1)
+        assert int(self.out_src.max(initial=0)) <= self.n_y2_rows
+        packed = sum(int(np.count_nonzero(s.vals)) for s in self.streams)
+        over = self.overflow.nnz if self.overflow is not None else 0
+        # explicit zeros in the input never occupy nonzero slots
+        assert packed + over <= self.nnz, "elements double-packed"
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +300,9 @@ def _choose_w8(slens: np.ndarray, threshold: float) -> int:
 
 
 def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
-                p_cap: int = 64) -> WPlan:
+                p_cap: int = 32) -> WPlan:
+    # p_cap <= 32 keeps slot metadata in 15 bits (round<<10|q<<7|lam), so
+    # the index stream ships as int16 — 25% less HBM traffic at fp32.
     csr.check()
     n = csr.n_rows
     lens = csr.row_lengths.astype(np.int64)
@@ -328,15 +352,17 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         tiles, p_used, n_ovf, ovf_local = _try_route(base, slen, w8)
         total = int(slen.sum())
         while (n_ovf > 0.05 * total and w8 != W8_CLASSES[-1]):
-            w8 = W8_CLASSES[W8_CLASSES.index(w8) + 1]
-            tiles2, p2, n2, ovf2 = _try_route(base, slen, w8)
+            w8_try = W8_CLASSES[W8_CLASSES.index(w8) + 1]
+            tiles2, p2, n2, ovf2 = _try_route(base, slen, w8_try)
             if n2 >= n_ovf:
                 break
             tiles, p_used, n_ovf, ovf_local = tiles2, p2, n2, ovf2
+            w8 = w8_try
         for lanes_o, colv, valv in ovf_local:
             ovf_r.append(ovf_rows[lanes_o])
             ovf_c.append(colv)
             ovf_v.append(valv)
+        assert len(tiles) == w8
         packets.append(_Packet(kind, w8, _p_class(p_used, p_cap), tiles,
                                block))
         return w8
@@ -729,7 +755,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         "overflow_frac": float(census["n_overflow"] / csr.nnz)
         if csr.nnz else 0.0,
     }
-    return WPlan(
+    plan = WPlan(
         n_rows=n, n_cols=csr.n_cols, nnz=csr.nnz, config=config,
         s_rows=(-(-max(csr.n_cols, 1) // VREG)) * SUB,
         streams=streams, sell=sell_segments, longs=long_groups,
@@ -738,6 +764,8 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         out_perm=out_perm.reshape(B * K_SOURCES, LANES).astype(np.int32),
         n_y2_rows=int(n_y2_rows), overflow=overflow,
         census=census, stats=stats)
+    plan.check()
+    return plan
 
 
 # ---------------------------------------------------------------------------
