@@ -603,6 +603,30 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                                row))
 
     # ---- assembly --------------------------------------------------------
+    # Merge small round-classes upward: each stream is one kernel launch
+    # with fixed overhead, so a class worth <8% of the vregs (or <256)
+    # rides along with the next class (its vregs just skip unused rounds
+    # via per-slot round tags; the extra rounds cost less than a launch).
+    cls_vregs: Dict[int, int] = {}
+    for p in packets:
+        cls_vregs[p.cls] = cls_vregs.get(p.cls, 0) + p.w8
+    order_cls = sorted(cls_vregs)
+    total_v = sum(cls_vregs.values())
+    merged: Dict[int, int] = {}
+    for i, c in enumerate(order_cls[:-1]):
+        if cls_vregs[c] < max(256, 0.08 * total_v):
+            tgt = order_cls[i + 1]
+            merged[c] = tgt
+            cls_vregs[tgt] += cls_vregs[c]
+            cls_vregs[c] = 0
+    if merged:
+        def resolve(c):
+            while c in merged:
+                c = merged[c]
+            return c
+        for p in packets:
+            p.cls = resolve(p.cls)
+
     cls_list = sorted({p.cls for p in packets})
     streams: List[WStream] = []
     sell_segments: List[SellSegment] = []
@@ -988,3 +1012,68 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
             out_src=new_src, out_perm=new_perm, n_y2_rows=n_y2_new,
             overflow=p.overflow, census=p.census, stats=p.stats))
     return out_plans
+
+
+# ---------------------------------------------------------------------------
+# Serialization: the pack plan is a pure function of the matrix, so persist
+# it (the reference repacks on every run, dasp_f64.h:486-1157).
+# ---------------------------------------------------------------------------
+
+
+def save_wplan(plan: WPlan, path) -> None:
+    import json
+    arrays = {}
+    meta = dict(
+        n_rows=plan.n_rows, n_cols=plan.n_cols, nnz=plan.nnz,
+        s_rows=plan.s_rows, n_long=plan.n_long, n_y2_rows=plan.n_y2_rows,
+        config=dataclasses.asdict(plan.config),
+        census=plan.census, stats=plan.stats,
+        streams=[s.P for s in plan.streams],
+        sell=[(g.stream, g.vreg_offset, g.n_slices, g.w8, g.out_row)
+              for g in plan.sell],
+        longs=[lg.stream for lg in plan.longs],
+        has_overflow=plan.overflow is not None)
+    for i, s in enumerate(plan.streams):
+        arrays[f"s{i}_vals"] = s.vals.astype(np.float64)
+        arrays[f"s{i}_idx"] = s.idx
+        arrays[f"s{i}_wins"] = s.wins
+        arrays[f"s{i}_cnt"] = s.win_counts
+    for i, lg in enumerate(plan.longs):
+        arrays[f"l{i}_idx"] = lg.idx
+        arrays[f"l{i}_pos"] = lg.scalar_pos
+    arrays["out_src"] = plan.out_src
+    arrays["out_perm"] = plan.out_perm
+    if plan.overflow is not None:
+        arrays["ovf_rpt"] = plan.overflow.row_ptr
+        arrays["ovf_cid"] = plan.overflow.col_idx
+        arrays["ovf_val"] = plan.overflow.values
+    np.savez_compressed(path, __meta__=np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+
+
+def load_wplan(path) -> WPlan:
+    import json
+    z = np.load(path)
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    streams = [WStream(P=p, vals=z[f"s{i}_vals"], idx=z[f"s{i}_idx"],
+                       wins=z[f"s{i}_wins"], win_counts=z[f"s{i}_cnt"])
+               for i, p in enumerate(meta["streams"])]
+    sell = [SellSegment(*t) for t in meta["sell"]]
+    longs = [LongGroup(stream=s, idx=z[f"l{i}_idx"],
+                       scalar_pos=z[f"l{i}_pos"])
+             for i, s in enumerate(meta["longs"])]
+    overflow = None
+    if meta["has_overflow"]:
+        overflow = CSRMatrix(meta["n_rows"], meta["n_cols"],
+                             z["ovf_rpt"], z["ovf_cid"], z["ovf_val"])
+    cfg = {k: tuple(v) if isinstance(v, list) else v
+           for k, v in meta["config"].items()}
+    plan = WPlan(
+        n_rows=meta["n_rows"], n_cols=meta["n_cols"], nnz=meta["nnz"],
+        config=DaspConfig(**cfg), s_rows=meta["s_rows"], streams=streams,
+        sell=sell, longs=longs, n_long=meta["n_long"],
+        out_src=z["out_src"], out_perm=z["out_perm"],
+        n_y2_rows=meta["n_y2_rows"], overflow=overflow,
+        census=meta["census"], stats=meta["stats"])
+    plan.check()
+    return plan

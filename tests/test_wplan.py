@@ -139,3 +139,16 @@ def test_pallas_f64_dd_precision(rng, name):
     scale = np.maximum(np.abs(golden), 1.0)
     np.testing.assert_allclose(y / scale, golden / scale,
                                rtol=1e-10, atol=1e-10)
+
+
+def test_wplan_save_load_roundtrip(tmp_path, rng):
+    from dasp_tpu.wplan import save_wplan, load_wplan
+    csr = CASES["mixed"](rng)
+    plan = build_wplan(csr)
+    p = tmp_path / "w.npz"
+    save_wplan(plan, p)
+    plan2 = load_wplan(p)
+    x = rng.standard_normal(csr.n_cols)
+    y1 = _emulate(plan, x)
+    y2 = _emulate(plan2, x)
+    np.testing.assert_allclose(y1, y2, rtol=0, atol=0)
