@@ -14,7 +14,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..sparse import CSRMatrix
-from .harness import BenchResult, data_models, time_fn, WARMUP, ITERS
 
 
 class BCOOBaseline:

@@ -18,8 +18,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..sparse import (CSRMatrix, circuit_like, fem_like, powerlaw_like,
-                      random_csr)
+from ..sparse import (CSRMatrix, circuit_like, fem_like, powerlaw_like)
 
 # name -> builder(rng) -> CSRMatrix; sized for one v5e chip with room for
 # packed streams + baselines.  Graph matrices use degree-rank column

@@ -12,7 +12,7 @@ fragment.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 
 # TPU vector-register geometry (fp32): 8 sublanes x 128 lanes.

@@ -19,8 +19,7 @@ Between them sit only cheap XLA reshape-sums over the (NV,128) partials.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ Structure-to-op mapping (reference parity):
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple, Tuple
 
 import jax

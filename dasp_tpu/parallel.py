@@ -16,7 +16,6 @@ them), then stacks them on a leading mesh axis.  The scatter executor
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Tuple
 
 import jax

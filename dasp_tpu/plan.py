@@ -51,7 +51,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from .analyze import RowCategories, categorize
-from .config import DaspConfig, DEFAULT_CONFIG, LANES, SUBLANES, TILE_ELEMS
+from .config import DaspConfig, DEFAULT_CONFIG, LANES, SUBLANES
 from .sparse import CSRMatrix
 
 

@@ -11,13 +11,12 @@ original row order (the reference instead returns a permuted Y plus
 from __future__ import annotations
 
 import time
-from typing import Optional, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .analyze import categorize
 from .config import DaspConfig, DEFAULT_CONFIG
 from .plan import DaspPlan, build_plan
 from .sparse import CSRMatrix
