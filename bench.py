@@ -32,6 +32,10 @@ def main() -> int:
     ap.add_argument("--names", default=None,
                     help="comma-separated suite subset")
     ap.add_argument("--csv-dir", default="data")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one timed run "
+                         "into DIR (the reference ships -lineinfo for "
+                         "nsight, Makefile:10; this is the TPU analog)")
     ap.add_argument("--mtx", nargs="*", default=None,
                     help="benchmark these .mtx files instead of the suite")
     args = ap.parse_args()
@@ -72,6 +76,13 @@ def main() -> int:
 
         for dtype in dtypes:
             op = SpMVOperator(csr, dtype=dtype)
+            if args.profile:
+                import jax.profiler
+                with jax.profiler.trace(args.profile):
+                    loop = op.timing_loop(8)
+                    import numpy as _np
+                    _np.asarray(jax.tree.leaves(loop(op._prep_x(x)))[0]
+                                .ravel()[:4])
             res = bench_spmv(op, x, dtype, warmup=warmup, iters=iters)
             all_gflops.append(res.gflops)
             if dtype == "f32" and base_res is not None:
