@@ -385,36 +385,162 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         else:
             frags[row] = (colv, valv)
 
-    for b in range(B):
-        rows = np.arange(b * LANES, min((b + 1) * LANES, n))
-        sell = rows[~is_long[rows] & (lens[rows] > 0)]
-        order = np.argsort(-lens[sell], kind="stable")
-        sell = sell[order]
-        lane_rows = np.full(LANES, -1, dtype=np.int64)
-        lane_rows[:sell.size] = sell
-        block_lane_of_row[sell] = np.arange(sell.size)
-        if sell.size < LANES:
-            block_pad_lane[b] = sell.size
-        slen = np.where(lane_rows >= 0, lens[np.maximum(lane_rows, 0)], 0)
-        base = np.where(lane_rows >= 0, rpt[np.maximum(lane_rows, 0)], 0)
-        w8 = _choose_w8(slen, config.threshold)
-        over = slen > SUB * w8
-        if over.any():
-            # tails: big ones become scalar fragments, the rest re-route
-            # through the block's element-granular rem2 slice
-            for j in np.flatnonzero(over):
-                t_base = int(base[j] + SUB * w8)
-                t_len = int(slen[j] - SUB * w8)
-                if t_len > FRAG_MIN:
-                    add_frag(int(lane_rows[j]),
-                             cols_all[t_base:t_base + t_len],
-                             vals_all[t_base:t_base + t_len])
-                else:
-                    ovf_r.append(np.full(t_len, lane_rows[j]))
-                    ovf_c.append(cols_all[t_base:t_base + t_len])
-                    ovf_v.append(vals_all[t_base:t_base + t_len])
-        route_packet("sell", base, np.minimum(slen, SUB * w8), w8, b,
-                     lane_rows)
+    # Vectorized primary packing: lane assignment, width choice, element
+    # distribution and tail carving for ALL blocks at once, then batched
+    # router calls with per-block width-doubling retries.
+    if n:
+        blk = np.arange(n) // LANES
+        sellable = (~is_long) & (lens > 0)
+        order = np.lexsort((-lens, ~sellable, blk))
+        lane_sorted = np.arange(n) - LANES * blk[order]
+        sel_sorted = sellable[order]
+        block_lane_of_row[order[sel_sorted]] = lane_sorted[sel_sorted]
+        n_sell_b = np.bincount(blk[sellable], minlength=B)
+        block_pad_lane[:] = np.where(n_sell_b < LANES, n_sell_b, -1)
+
+        Lmat = np.zeros((B, LANES), dtype=np.int64)
+        Lmat[blk[order], lane_sorted] = np.where(sel_sorted, lens[order], 0)
+        w8_choice = np.full(B, W8_CLASSES[0], dtype=np.int64)
+        for c in W8_CLASSES:
+            occ = np.minimum(Lmat, SUB * c).sum(axis=1) / (LANES * SUB * c)
+            w8_choice = np.where(occ >= config.threshold, c, w8_choice)
+
+        rows_sell_all = np.flatnonzero(sellable)
+        w8_row0 = w8_choice[blk[rows_sell_all]]
+        reg_all = np.minimum(lens[rows_sell_all], SUB * w8_row0)
+        tail = lens[rows_sell_all] - reg_all
+        # tails: big ones -> scalar fragments; small -> rem2 via overflow
+        for ri in np.flatnonzero(tail > FRAG_MIN):
+            r = rows_sell_all[ri]
+            t0 = int(rpt[r] + reg_all[ri])
+            t1 = int(rpt[r + 1])
+            add_frag(int(r), cols_all[t0:t1], vals_all[t0:t1])
+        small = np.flatnonzero((tail > 0) & (tail <= FRAG_MIN))
+        if small.size:
+            st = rpt[rows_sell_all[small]] + reg_all[small]
+            tl = tail[small]
+            eidx = np.repeat(st, tl) + (
+                np.arange(int(tl.sum())) - np.repeat(
+                    np.concatenate([[0], np.cumsum(tl)[:-1]]), tl))
+            ovf_r.append(np.repeat(rows_sell_all[small], tl))
+            ovf_c.append(cols_all[eidx])
+            ovf_v.append(vals_all[eidx])
+
+        def batch_route_blocks(block_ids, w8_of):
+            """Route the given blocks' regular elements at widths w8_of
+            (indexed by block id).  Returns (results, loss, rejects) where
+            results[b] = (tiles, p_used); rejects = (rows, cols, vals)."""
+            inb = np.zeros(B, dtype=bool)
+            inb[block_ids] = True
+            sub_mask = inb[blk[rows_sell_all]]
+            rows_sell = rows_sell_all[sub_mask]
+            reg = reg_all[sub_mask]          # regular region is FIXED by
+            w8_row = w8_of[blk[rows_sell]]   # the first width choice
+            c_row = np.maximum(1, -(-reg // w8_row))
+            tot = int(reg.sum())
+            estart = np.concatenate([[0], np.cumsum(reg)[:-1]])
+            k = np.arange(tot) - np.repeat(estart, reg)
+            c_rep = np.repeat(c_row, reg)
+            vreg_local = k // c_rep
+            ipref = (k % c_rep).astype(np.int64)
+            w8_sub = w8_of[block_ids]
+            base_arr = np.full(B, -1, dtype=np.int64)
+            base_arr[block_ids] = np.concatenate(
+                [[0], np.cumsum(w8_sub)[:-1]])
+            vb = base_arr[blk[rows_sell]]
+            vreg_id = np.repeat(vb, reg) + vreg_local
+            elane = np.repeat(block_lane_of_row[rows_sell], reg)
+            eidx2 = np.repeat(rpt[rows_sell], reg) + k
+            erow = np.repeat(rows_sell, reg)
+            ecol = cols_all[eidx2]
+            eval_ = vals_all[eidx2]
+            o2 = np.argsort(vreg_id, kind="stable")
+            total_vregs = int(w8_sub.sum())
+            offsets = np.zeros(total_vregs + 1, dtype=np.int64)
+            np.cumsum(np.bincount(vreg_id[o2], minlength=total_vregs),
+                      out=offsets[1:])
+            lane_s, ipref_s = elane[o2], ipref[o2]
+            col_s, val_s, erow_s = ecol[o2], eval_[o2], erow[o2]
+            nat = _native_router()
+            if nat:
+                vt, it, wins, wc, ovf = nat.route_vregs(
+                    offsets, lane_s, ipref_s, col_s, val_s, p_cap)
+            else:
+                routed = [_route_vreg(
+                    lane_s[offsets[v]:offsets[v + 1]],
+                    ipref_s[offsets[v]:offsets[v + 1]],
+                    col_s[offsets[v]:offsets[v + 1]],
+                    val_s[offsets[v]:offsets[v + 1]], p_cap)
+                    for v in range(total_vregs)]
+                vt = (np.stack([r[0] for r in routed]) if routed else
+                      np.zeros((0, SUB, LANES)))
+                it = (np.stack([r[1] for r in routed]) if routed else
+                      np.zeros((0, SUB, LANES), dtype=np.int64))
+                wins = np.zeros((total_vregs, p_cap), dtype=np.int64)
+                wc = np.zeros(total_vregs, dtype=np.int32)
+                ovf = np.zeros(tot, dtype=bool)
+                for v, r in enumerate(routed):
+                    wins[v, :r[2].size] = r[2]
+                    wc[v] = r[2].size
+                    ovf[offsets[v]:offsets[v + 1]] = r[3]
+            loss = (np.bincount(blk[erow_s[ovf]], minlength=B)
+                    if ovf.any() else np.zeros(B, dtype=np.int64))
+            results = {}
+            for j, b in enumerate(block_ids.tolist()):
+                lo = int(base_arr[b])
+                w8 = int(w8_sub[j])
+                tiles = [(vt[v], it[v], wins[v, :wc[v]])
+                         for v in range(lo, lo + w8)]
+                p_used = max(1, int(wc[lo:lo + w8].max(initial=1)))
+                results[b] = (tiles, w8, p_used)
+            rejects = (erow_s[ovf], col_s[ovf], val_s[ovf])
+            return results, loss, rejects
+
+        elems_b = np.bincount(blk[rows_sell_all], weights=reg_all,
+                              minlength=B).astype(np.int64)
+        pending = np.arange(B)
+        w8_cur = w8_choice.copy()
+        final_results = {}
+        for attempt in range(3):
+            results, loss, rejects = batch_route_blocks(pending, w8_cur)
+            widenable = np.array(
+                [w8_cur[b] != W8_CLASSES[-1] for b in pending])
+            bad = (loss[pending] > 0.05 * np.maximum(elems_b[pending], 1)) \
+                & widenable
+            good = pending[~bad]
+            for b in good.tolist():
+                final_results[b] = results[b]
+            # keep rejects belonging to accepted blocks
+            rj_b = blk[rejects[0]] if rejects[0].size else \
+                np.zeros(0, dtype=np.int64)
+            ing = np.zeros(B, dtype=bool)
+            ing[good] = True
+            keep = ing[rj_b] if rj_b.size else np.zeros(0, dtype=bool)
+            if keep.any():
+                ovf_r.append(rejects[0][keep])
+                ovf_c.append(rejects[1][keep])
+                ovf_v.append(rejects[2][keep])
+            pending = pending[bad]
+            if pending.size == 0:
+                break
+            for b in pending:
+                w8_cur[b] = W8_CLASSES[min(W8_CLASSES.index(int(w8_cur[b]))
+                                           + 1, len(W8_CLASSES) - 1)]
+        else:
+            # last attempt's remaining blocks: accept as-is
+            results, loss, rejects = batch_route_blocks(pending, w8_cur)
+            for b in pending.tolist():
+                final_results[b] = results[b]
+            if rejects[0].size:
+                ovf_r.append(rejects[0])
+                ovf_c.append(rejects[1])
+                ovf_v.append(rejects[2])
+
+        for b in range(B):
+            tiles, w8, p_used = final_results[b]
+            packets.append(_Packet("sell", w8, _p_class(p_used, p_cap),
+                                   tiles, b))
+
 
     # ---- rem2: re-route conflict rejects per block ----------------------
     # Elements the first pass could not route get a second, sparser slice
@@ -450,7 +576,16 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             for mb in member_blocks:
                 rem_slice_of_block[level][mb] = sid
             rem_lane_of_row[level][slice_rows] = np.arange(slice_rows.size)
-            sel = np.isin(o_rows, slice_rows)
+            # rows' elements are contiguous runs in the (row,col)-sorted
+            # stream: gather their index ranges instead of isin
+            ri = np.searchsorted(urows_all, slice_rows)
+            r0, r1 = row_start[ri], row_start[ri + 1]
+            cnt = r1 - r0
+            sel = (np.repeat(r0, cnt)
+                   + (np.arange(int(cnt.sum()))
+                      - np.repeat(np.concatenate([[0],
+                                                  np.cumsum(cnt)[:-1]]),
+                                  cnt)))
             er, ec, ev = o_rows[sel], o_cols[sel], o_vals[sel]
             lane_of = {int(r): i for i, r in enumerate(slice_rows)}
             lanes_e = np.array([lane_of[int(r)] for r in er])
