@@ -318,54 +318,6 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     ovf_c: List[np.ndarray] = []
     ovf_v: List[np.ndarray] = []
 
-    def _try_route(base, slen, w8):
-        """Route one slice at width w8 without committing overflow.  Each
-        row's elements are spread evenly over the w8 vregs (chunk height
-        ceil(len/w8)), so widening genuinely lowers per-vreg cell load."""
-        c = np.maximum(1, -(-slen // w8))          # per-row chunk height
-        parts = []
-        for v in range(w8):
-            lo = v * c
-            take = np.clip(slen - lo, 0, c)
-            lanes_v = np.repeat(np.arange(LANES), take)
-            iprefs = (np.concatenate([np.arange(t) for t in take])
-                      if take.any() else np.empty(0, dtype=np.int64))
-            elem = np.repeat(base + lo, take) + iprefs
-            parts.append((lanes_v, iprefs, cols_all[elem], vals_all[elem]))
-        routed = _route_vregs_batch(parts, p_cap)
-        tiles = []
-        p_used = 1
-        n_ovf = 0
-        ovf_local = []
-        for (lanes_v, _, colv, valv), (vt, it, wl, om) in zip(parts, routed):
-            if om.any():
-                n_ovf += int(om.sum())
-                ovf_local.append((lanes_v[om], colv[om], valv[om]))
-            p_used = max(p_used, wl.size)
-            tiles.append((vt, it, wl))
-        return tiles, p_used, n_ovf, ovf_local
-
-    def route_packet(kind, base, slen, w8, block, ovf_rows):
-        """Route one 128-lane slice; lanes with slen=0 are pads.  Congested
-        slices (routing-cell conflicts) are retried at doubled width, which
-        halves the per-vreg cell load."""
-        tiles, p_used, n_ovf, ovf_local = _try_route(base, slen, w8)
-        total = int(slen.sum())
-        while (n_ovf > 0.05 * total and w8 != W8_CLASSES[-1]):
-            w8_try = W8_CLASSES[W8_CLASSES.index(w8) + 1]
-            tiles2, p2, n2, ovf2 = _try_route(base, slen, w8_try)
-            if n2 >= n_ovf:
-                break
-            tiles, p_used, n_ovf, ovf_local = tiles2, p2, n2, ovf2
-            w8 = w8_try
-        for lanes_o, colv, valv in ovf_local:
-            ovf_r.append(ovf_rows[lanes_o])
-            ovf_c.append(colv)
-            ovf_v.append(valv)
-        assert len(tiles) == w8
-        packets.append(_Packet(kind, w8, _p_class(p_used, p_cap), tiles,
-                               block))
-        return w8
 
     # ---- per-block SELL slices + per-block remainder tails --------------
     # lane assignment per block: sell rows length-desc, pads last.
