@@ -557,6 +557,12 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
 class PallasSpMV:
     """Operator wrapper with the same interface as the XLA path."""
 
+    def __new__(cls, csr, dtype: str = "f32", config=None):
+        from ..sparse import CSRMatrix
+        if isinstance(csr, CSRMatrix) and csr.n_cols > SLAB_COLS:
+            return SlabbedPallasSpMV(csr, dtype, config)
+        return super().__new__(cls)
+
     def __init__(self, csr, dtype: str = "f32", config=None):
         import time
         from ..config import DEFAULT_CONFIG
@@ -595,6 +601,121 @@ class PallasSpMV:
             return spmv_fn(meta, arrays, x2d)
 
         return lambda x_dev: loop(self._arrays, x_dev)
+
+    def __call__(self, x):
+        y = self.device_call(self._prep_x(x))
+        if self.dtype == "f64":
+            from . import dd
+            return dd.to_f64(np.asarray(y["hi"]), np.asarray(y["lo"]))
+        return np.asarray(y)
+
+
+# ---------------------------------------------------------------------------
+# Column slabs: matrices whose x exceeds the VMEM-resident table budget are
+# split into column ranges, one windowed plan per slab; y is the sum of the
+# per-slab SpMVs.  (Single-chip; the row dimension is the multi-chip axis.)
+# ---------------------------------------------------------------------------
+
+SLAB_COLS = 1_048_576     # 1M columns -> (8192,128) f32 table = 4 MB VMEM
+
+
+def split_columns(csr, slab_cols: int = SLAB_COLS):
+    """Split a CSR by column ranges; element order within rows preserved."""
+    from ..sparse import CSRMatrix
+    n_slabs = -(-csr.n_cols // slab_cols)
+    rows = np.repeat(np.arange(csr.n_rows), csr.row_lengths)
+    out = []
+    for j in range(n_slabs):
+        lo, hi = j * slab_cols, min((j + 1) * slab_cols, csr.n_cols)
+        sel = (csr.col_idx >= lo) & (csr.col_idx < hi)
+        rpt = np.zeros(csr.n_rows + 1, dtype=np.int64)
+        np.cumsum(np.bincount(rows[sel], minlength=csr.n_rows),
+                  out=rpt[1:])
+        out.append((lo, CSRMatrix(csr.n_rows, hi - lo, rpt,
+                                  (csr.col_idx[sel] - lo).astype(np.int32),
+                                  csr.values[sel].copy())))
+    return out
+
+
+class SlabbedPallasSpMV:
+    """PallasSpMV for n_cols beyond the VMEM x-table budget: y = sum over
+    column slabs of slab_plan @ x[slab]."""
+
+    backend = "pallas"
+
+    def __init__(self, csr, dtype: str = "f32", config=None,
+                 slab_cols: int = SLAB_COLS):
+        import time
+        from ..config import DEFAULT_CONFIG
+        t0 = time.perf_counter()
+        self.n_rows, self.n_cols, self.nnz = csr.n_rows, csr.n_cols, csr.nnz
+        self.dtype = dtype
+        self.slabs = []
+        for lo, sub in split_columns(csr, slab_cols):
+            plan = build_wplan(sub, config or DEFAULT_CONFIG)
+            meta, arrays = plan_to_arrays(plan, dtype)
+            self.slabs.append((lo, sub.n_cols, meta,
+                               jax.device_put(arrays)))
+        self.plan = None
+        self._fn = jax.jit(spmv_fn, static_argnums=0)
+        self.preprocess_seconds = time.perf_counter() - t0
+
+    def _prep_x(self, x):
+        x = np.asarray(x)
+        return [jax.device_put(prep_x(meta, x[lo:lo + w]))
+                for lo, w, meta, _ in self.slabs]
+
+    def device_call(self, x_devs):
+        y = None
+        for (lo, w, meta, arrays), xd in zip(self.slabs, x_devs):
+            yj = self._fn(meta, arrays, xd)
+            if y is None:
+                y = yj
+            elif meta.dtype == "f64":
+                from . import dd
+                h, l = dd.add(y["hi"], y["lo"], yj["hi"], yj["lo"],
+                              safe=True)
+                y = dict(hi=h, lo=l)
+            else:
+                y = y + yj
+        return y
+
+    def timing_loop(self, iters: int):
+        from . import dd
+        slabs = self.slabs
+
+        @jax.jit
+        def loop(all_arrays, x_devs):
+            def one(x_devs):
+                y = None
+                for (lo, w, meta, _), arrays, xd in zip(
+                        slabs, all_arrays, x_devs):
+                    yj = spmv_fn(meta, arrays, xd)
+                    if y is None:
+                        y = yj
+                    elif isinstance(yj, dict):
+                        h, l = dd.add(y["hi"], y["lo"],
+                                      yj["hi"], yj["lo"], safe=True)
+                        y = dict(hi=h, lo=l)
+                    else:
+                        y = y + yj
+                return y
+
+            def body(_, x_devs):
+                y = one(x_devs)
+                tap = (y["hi"] if isinstance(y, dict) else y)[0]
+                tap = tap.astype(jnp.float32) * jnp.float32(1e-36)
+                def nudge(xd):
+                    if isinstance(xd, dict):
+                        return dict(hi=xd["hi"] + tap, lo=xd["lo"])
+                    return xd + tap
+                return [nudge(xd) for xd in x_devs]
+
+            x_devs = jax.lax.fori_loop(0, iters, body, x_devs)
+            return one(x_devs)
+
+        all_arrays = [a for _, _, _, a in self.slabs]
+        return lambda x_devs: loop(all_arrays, x_devs)
 
     def __call__(self, x):
         y = self.device_call(self._prep_x(x))

@@ -152,3 +152,27 @@ def test_wplan_save_load_roundtrip(tmp_path, rng):
     y1 = _emulate(plan, x)
     y2 = _emulate(plan2, x)
     np.testing.assert_allclose(y1, y2, rtol=0, atol=0)
+
+
+def test_column_slabs(rng):
+    """n_cols beyond the VMEM x-table budget splits into column slabs."""
+    from dasp_tpu.ops.pallas_backend import SlabbedPallasSpMV
+    # columns spread over all slabs but locally clustered (fast routing)
+    n, m = 128, 180_000
+    lens = rng.integers(1, 30, n)
+    rpt = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=rpt[1:])
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.clip(rows * (m // n) + rng.integers(0, 500, int(lens.sum())),
+                   0, m - 1).astype(np.int32)
+    order = np.lexsort((cols, rows))
+    csr = CSRMatrix(n, m, rpt, cols[order],
+                    rng.standard_normal(int(lens.sum())))
+    op = SlabbedPallasSpMV(csr, dtype="f32", slab_cols=64_000)
+    assert len(op.slabs) == 3
+    x = rng.standard_normal(csr.n_cols)
+    y = op(x)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(y / scale, golden / scale, rtol=2e-5,
+                               atol=2e-5)
