@@ -51,9 +51,9 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool):
     """(wins (NV,P+1), vals (NV*8,128), idx (NV*8,128), x2d (S,128))
     -> per-vreg column sums (NV, 128) f32.
 
-    wins[:, 0] is the per-vreg *round count*; wins[:, 1+p] the window row
-    offsets.  Rounds run under a dynamic fori_loop so a vreg only pays for
-    the windows it actually uses (P is just the stream's ceiling)."""
+    wins[:, 0] is the per-vreg round count (reserved for a future dynamic
+    path); wins[:, 1+p] the window row offsets.  Rounds are statically
+    unrolled per stream class P."""
 
     def kernel(win_ref, vals_ref, idx_ref, x_ref, out_ref):
         def body(u, _):
@@ -301,11 +301,7 @@ class WMeta(NamedTuple):
     interpret: bool
 
 
-MAX_OVERFLOW_DEPTH = 2
-XLA_OVERFLOW_MAX = 512     # below this, the XLA gather path is cheap enough
-
-
-def plan_to_arrays(plan, dtype: str = "f32", depth: int = 0,
+def plan_to_arrays(plan, dtype: str = "f32",
                    include_overflow: bool = True):
     from ..sparse import CSRMatrix
     if isinstance(plan, CSRMatrix):
@@ -608,6 +604,24 @@ class PallasSpMV:
             from . import dd
             return dd.to_f64(np.asarray(y["hi"]), np.asarray(y["lo"]))
         return np.asarray(y)
+
+    def matmat(self, X):
+        """Multi-vector SpMV (SpMM): Y = A @ X for X of shape (n_cols, k),
+        vmapped over the packed kernels (the reference is SpMV-only)."""
+        X = np.asarray(X)
+        k = X.shape[1]
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[prep_x(self._meta, X[:, j]) for j in range(k)])
+        meta = self._meta
+        fn = jax.jit(jax.vmap(lambda a, xd: spmv_fn(meta, a, xd),
+                              in_axes=(None, 0)), static_argnums=())
+        y = fn(self._arrays, stacked)
+        if self.dtype == "f64":
+            from . import dd
+            return dd.to_f64(np.asarray(y["hi"]),
+                             np.asarray(y["lo"])).T
+        return np.asarray(y).T
 
 
 # ---------------------------------------------------------------------------

@@ -176,3 +176,40 @@ def test_column_slabs(rng):
     scale = np.maximum(np.abs(golden), 1.0)
     np.testing.assert_allclose(y / scale, golden / scale, rtol=2e-5,
                                atol=2e-5)
+
+
+def test_matmat_multivector(rng):
+    """SpMM (Y = A @ X) via vmap over the packed kernels."""
+    from dasp_tpu.ops.pallas_backend import PallasSpMV
+    csr = CASES["mixed"](rng)
+    op = PallasSpMV(csr, dtype="f32")
+    X = rng.standard_normal((csr.n_cols, 4))
+    Y = op.matmat(X)
+    assert Y.shape == (csr.n_rows, 4)
+    for j in range(4):
+        golden = csr.spmv(X[:, j])
+        scale = np.maximum(np.abs(golden), 1.0)
+        np.testing.assert_allclose(Y[:, j] / scale, golden / scale,
+                                   rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_fuzz_packer_vs_golden(seed):
+    """Randomized packer fuzz: random shapes/densities/configs, emulator
+    vs golden."""
+    from dasp_tpu.config import DaspConfig
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 600))
+    m = int(rng.integers(5, 3000))
+    lens = rng.integers(0, min(m, int(rng.integers(2, 400))), size=n)
+    csr = random_csr(n, m, lens, rng)
+    cfg = DaspConfig(
+        block_longest=int(rng.choice([64, 256])),
+        threshold=float(rng.choice([0.5, 0.75, 0.9])))
+    plan = build_wplan(csr, cfg)
+    x = rng.standard_normal(m)
+    y = _emulate(plan, x)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(y / scale, golden / scale,
+                               rtol=1e-12, atol=1e-12)
