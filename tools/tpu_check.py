@@ -37,14 +37,14 @@ def main():
             op = dasp_tpu.SpMVOperator(csr, dtype=dtype)
             y = np.asarray(op(x), dtype=np.float64)
             if dtype == "bf16":
+                # the Pallas path rounds values to bf16 but keeps x in f32
                 import ml_dtypes
                 from dasp_tpu.sparse import CSRMatrix
                 rcsr = CSRMatrix(csr.n_rows, csr.n_cols, csr.row_ptr,
                                  csr.col_idx,
                                  csr.values.astype(ml_dtypes.bfloat16)
                                  .astype(np.float64))
-                golden_d = rcsr.spmv(x.astype(ml_dtypes.bfloat16)
-                                     .astype(np.float64))
+                golden_d = rcsr.spmv(x)
             else:
                 golden_d = golden
             err = float(np.abs((y - golden_d) / scale).max())
