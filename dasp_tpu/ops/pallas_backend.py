@@ -30,8 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..wplan import (WPlan, SUB, LANES, LONG_PACK, K_SOURCES, build_wplan)
 from . import xla_backend
 
-BV = 64          # vregs per colsum grid step
-UNROLL = 8
+BV = 128         # vregs per colsum grid step
+UNROLL = 32      # vregs per inner unrolled group (tile sweep on v5e:
+                 # 32/128 gives 68 GF on cop20k vs 48 GF at 8/64)
+UNROLL_INTERPRET = 8   # smaller unrolled bodies keep interpret-mode
+                       # tracing (CPU tests) fast
 OB = 64          # output blocks per outgather grid step
 
 
@@ -54,6 +57,7 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool):
     wins[:, 0] is the per-vreg round count (reserved for a future dynamic
     path); wins[:, 1+p] the window row offsets.  Rounds are statically
     unrolled per stream class P."""
+    UNROLL = UNROLL_INTERPRET if interpret else globals()["UNROLL"]
 
     def kernel(win_ref, vals_ref, idx_ref, x_ref, out_ref):
         def body(u, _):
@@ -113,6 +117,7 @@ def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool):
     """Double-double colsum: values and the x table are (hi, lo) float32
     pairs (the f32x2 emulation of the reference's fp64 path,
     ``main_f64.cu`` / ``dasp_f64.h``; see ops/dd.py)."""
+    UNROLL = UNROLL_INTERPRET if interpret else globals()["UNROLL"]
     from . import dd
 
     def kernel(win_ref, vh_ref, vl_ref, idx_ref, xh_ref, xl_ref,
