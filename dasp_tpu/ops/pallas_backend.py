@@ -357,12 +357,20 @@ def plan_to_arrays(plan, dtype: str = "f32",
         long_groups.append((lg.stream, li))
         spos_all.append(lg.scalar_pos)
     if spos_all:
+        # A long row may contribute from SEVERAL groups (its vregs are
+        # classed per-vreg into different round-class streams), so the
+        # scalar assembly is a gather-sum: scalars[p] = sum of concatenated
+        # group outputs at long_gat[p, :] (pad -> the appended zero).
         concat_pos = np.concatenate(spos_all)
-        inv = np.zeros(plan.n_long, dtype=np.int64)
-        inv[concat_pos] = np.arange(concat_pos.size)
-        arrays["long_inv"] = inv.astype(np.int32)
+        order = np.argsort(concat_pos, kind="stable")
+        sp = concat_pos[order]
+        rank = np.arange(sp.size) - np.searchsorted(sp, sp, side="left")
+        mult = int(rank.max()) + 1 if sp.size else 1
+        gat = np.full((plan.n_long, mult), concat_pos.size, dtype=np.int32)
+        gat[sp, rank] = order
+        arrays["long_gat"] = gat
     else:
-        arrays["long_inv"] = np.zeros(0, dtype=np.int32)
+        arrays["long_gat"] = np.zeros((0, 1), dtype=np.int32)
 
     B = plan.out_src.shape[0]
     B_pad = max(OB, -(-B // OB) * OB)
@@ -456,7 +464,8 @@ def spmv_fn(meta: WMeta, arrays: Dict, x2d):
             idxm = arrays["long_idx"][li]
             souts.append(jnp.take(vreg_totals[stream], idxm,
                                   mode="clip").sum(axis=1))
-        scalars = jnp.concatenate(souts)[arrays["long_inv"]]
+        cat = jnp.concatenate(souts + [jnp.zeros(1, jnp.float32)])
+        scalars = jnp.take(cat, arrays["long_gat"], mode="clip").sum(axis=1)
         pad = meta.n_long_rows * LONG_PACK - meta.n_long
         scalars = jnp.concatenate([scalars, jnp.zeros(pad, jnp.float32)])
         srows = scalars.reshape(meta.n_long_rows, LONG_PACK)
@@ -517,8 +526,11 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
             sh, sl = dd.sum_axis(gh, gl, 1, safe=True)
             souts_h.append(sh)
             souts_l.append(sl)
-        sc_h = jnp.concatenate(souts_h)[arrays["long_inv"]]
-        sc_l = jnp.concatenate(souts_l)[arrays["long_inv"]]
+        cat_h = jnp.concatenate(souts_h + [jnp.zeros(1, jnp.float32)])
+        cat_l = jnp.concatenate(souts_l + [jnp.zeros(1, jnp.float32)])
+        gh_s = jnp.take(cat_h, arrays["long_gat"], mode="clip")
+        gl_s = jnp.take(cat_l, arrays["long_gat"], mode="clip")
+        sc_h, sc_l = dd.sum_axis(gh_s, gl_s, 1, safe=True)
         pad = meta.n_long_rows * LONG_PACK - meta.n_long
         z = jnp.zeros(pad, jnp.float32)
         for parts, sc in ((y2h_parts, jnp.concatenate([sc_h, z])),

@@ -249,6 +249,17 @@ class WMultiChipSpMV:
         plans = harmonize_wplans(plans)
         lowered = [pb.plan_to_arrays(p, dtype, include_overflow=False)
                    for p in plans]
+        # The long gather-sum multiplicity (how many round-class streams one
+        # long row's vregs split into) may differ per chip; pad every chip's
+        # long_gat to the widest with the zero-pad index so stacking works.
+        wmax = max(a["long_gat"].shape[1] for _, a in lowered)
+        for _, a in lowered:
+            g = a["long_gat"]
+            if g.shape[1] < wmax:
+                pad_idx = sum(ix.shape[0] for ix in a["long_idx"])
+                a["long_gat"] = np.concatenate(
+                    [g, np.full((g.shape[0], wmax - g.shape[1]), pad_idx,
+                                np.int32)], axis=1)
         metas = [m for m, _ in lowered]
         assert all(m == metas[0] for m in metas[1:]), \
             "harmonized plans must share one meta"

@@ -674,8 +674,14 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     routed = _route_vregs_batch(long_parts, p_cap)
     cursor = 0
     for row, nv in long_spans:
-        tiles = []
-        p_used = 1
+        # Class each vreg by ITS OWN window count: a long row's column-sorted
+        # head has 1-2 windows while its scattered tail can use 32 — one
+        # packet per round-class keeps the dense head out of the expensive
+        # many-round stream (the per-row max classing measured 53% of all
+        # vregs in the P=32 stream on power-law graphs; per-vreg classing
+        # cuts the P-weighted vector cost ~5x).  Contributions of one row's
+        # packets are summed by the glue via the long gather matrix.
+        by_cls: Dict[int, List] = {}
         for v in range(nv):
             lanes_v, _, colv, valv = long_parts[cursor]
             vt, it, wl, om = routed[cursor]
@@ -684,10 +690,10 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 ovf_r.append(np.full(int(om.sum()), row))
                 ovf_c.append(colv[om])
                 ovf_v.append(valv[om])
-            p_used = max(p_used, wl.size)
-            tiles.append((vt, it, wl))
-        packets.append(_Packet("long", nv, _p_class(p_used, p_cap), tiles,
-                               row))
+            by_cls.setdefault(_p_class(max(wl.size, 1), p_cap), []).append(
+                (vt, it, wl))
+        for cls, tiles in by_cls.items():
+            packets.append(_Packet("long", len(tiles), cls, tiles, row))
 
     # ---- assembly --------------------------------------------------------
     # Merge small round-classes upward: each stream is one kernel launch

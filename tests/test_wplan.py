@@ -50,7 +50,9 @@ def _emulate(plan, x):
             souts.append(totals[idx].sum(1))
             spos.append(lg.scalar_pos)
         scalars = np.zeros(plan.n_long)
-        scalars[np.concatenate(spos)] = np.concatenate(souts)
+        # a long row's vregs may split across round-class streams; each
+        # stream's group contributes partial sums that accumulate here
+        np.add.at(scalars, np.concatenate(spos), np.concatenate(souts))
         n_lr = -(-plan.n_long // LONG_PACK)
         pad = np.zeros(n_lr * LONG_PACK)
         pad[:plan.n_long] = scalars
