@@ -113,6 +113,121 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool):
     )
 
 
+BV_DYN = 8       # vregs per dynamic-round grid step
+
+
+def _make_colsum_dyn(P: int, S: int, NV: int, interpret: bool):
+    """Dynamic-round colsum for streams with P > 32 rounds (column-sorted
+    long-row tails spanning hundreds of x windows).  The round loop is a
+    vector-carried ``fori_loop`` bounded by the per-vreg round count in
+    SMEM — Mosaic serializes it (~6x slower per round than the static
+    unroll), which is fine for the tiny vreg mass these streams carry;
+    the win is that the elements stay off the XLA COO fallback."""
+
+    def kernel(win_ref, vals_ref, idx_ref, x_ref, out_ref):
+        parts = []
+        for v in range(BV_DYN):
+            idx = idx_ref[pl.ds(v * SUB, SUB), :].astype(jnp.int32)
+            vals = vals_ref[pl.ds(v * SUB, SUB), :]
+            lam = jax.lax.bitwise_and(idx, 127)
+            q = jax.lax.bitwise_and(jax.lax.shift_right_logical(idx, 7), 7)
+            rnd = jax.lax.shift_right_logical(idx, 10)
+
+            def rbody(p, acc):
+                w = pl.multiple_of(win_ref[v, 1 + p], SUB)
+                xw = x_ref[pl.ds(w, SUB), :]
+                gp = jnp.take_along_axis(xw, q, axis=0)
+                gp = jnp.take_along_axis(gp, lam, axis=1)
+                return acc + jnp.where(rnd == p, gp, 0.0)
+
+            g = jax.lax.fori_loop(
+                0, win_ref[v, 0], rbody,
+                jnp.zeros((SUB, LANES), jnp.float32))
+            prod = vals.astype(jnp.float32) * g
+            parts.append(jnp.sum(prod, axis=0, keepdims=True))
+        out_ref[...] = jnp.concatenate(parts, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(NV // BV_DYN,),
+        in_specs=[
+            pl.BlockSpec((BV_DYN, P + 1), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BV_DYN * SUB, LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BV_DYN * SUB, LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BV_DYN, LANES), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NV, LANES), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def _make_colsum_dyn_dd(P: int, S: int, NV: int, interpret: bool):
+    """dd variant of the dynamic-round colsum (see _make_colsum_dyn)."""
+    from . import dd
+
+    def kernel(win_ref, vh_ref, vl_ref, idx_ref, xh_ref, xl_ref,
+               oh_ref, ol_ref):
+        parts_h, parts_l = [], []
+        for v in range(BV_DYN):
+            idx = idx_ref[pl.ds(v * SUB, SUB), :].astype(jnp.int32)
+            vh = vh_ref[pl.ds(v * SUB, SUB), :]
+            vl = vl_ref[pl.ds(v * SUB, SUB), :]
+            lam = jax.lax.bitwise_and(idx, 127)
+            q = jax.lax.bitwise_and(jax.lax.shift_right_logical(idx, 7), 7)
+            rnd = jax.lax.shift_right_logical(idx, 10)
+
+            def rbody(p, acc):
+                ah, al = acc
+                w = pl.multiple_of(win_ref[v, 1 + p], SUB)
+                gh = jnp.take_along_axis(xh_ref[pl.ds(w, SUB), :], q, axis=0)
+                gh = jnp.take_along_axis(gh, lam, axis=1)
+                gl = jnp.take_along_axis(xl_ref[pl.ds(w, SUB), :], q, axis=0)
+                gl = jnp.take_along_axis(gl, lam, axis=1)
+                sel = rnd == p
+                return (jnp.where(sel, gh, ah), jnp.where(sel, gl, al))
+
+            zero = jnp.zeros((SUB, LANES), jnp.float32)
+            gh, gl = jax.lax.fori_loop(0, win_ref[v, 0], rbody, (zero, zero))
+            ph, plo = dd.mul(vh, vl, gh, gl)
+            sh, sl = dd.sum_axis(ph, plo, 0)
+            parts_h.append(sh[None])
+            parts_l.append(sl[None])
+        oh_ref[...] = jnp.concatenate(parts_h, 0)
+        ol_ref[...] = jnp.concatenate(parts_l, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(NV // BV_DYN,),
+        in_specs=[
+            pl.BlockSpec((BV_DYN, P + 1), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BV_DYN * SUB, LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BV_DYN * SUB, LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BV_DYN * SUB, LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((BV_DYN, LANES), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((BV_DYN, LANES), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((NV, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((NV, LANES), jnp.float32)),
+        interpret=interpret,
+    )
+
+
 def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool):
     """Double-double colsum: values and the x table are (hi, lo) float32
     pairs (the f32x2 emulation of the reference's fp64 path,
@@ -321,10 +436,17 @@ def plan_to_arrays(plan, dtype: str = "f32",
     stream_shapes = []
     for s in plan.streams:
         nv = s.n_vregs
-        nv_pad = -(-max(nv, 1) // BV) * BV
-        assert int(s.idx.max(initial=0)) <= np.iinfo(np.int16).max, \
-            "slot metadata must fit int16 (p_cap <= 32)"
-        idx = np.zeros((nv_pad * SUB, LANES), dtype=np.int16)
+        blk = BV if s.P <= 32 else BV_DYN
+        nv_pad = -(-max(nv, 1) // blk) * blk
+        if s.P <= 32:
+            # round<<10|q<<7|lam with <=32 rounds fits int16: 25% less
+            # HBM traffic on the index stream at fp32
+            assert int(s.idx.max(initial=0)) <= np.iinfo(np.int16).max, \
+                "slot metadata must fit int16 (p_cap <= 32)"
+            idx_dt = np.int16
+        else:
+            idx_dt = np.int32
+        idx = np.zeros((nv_pad * SUB, LANES), dtype=idx_dt)
         # wins[:, 0] = per-vreg round count; wins[:, 1:] = window offsets
         wins = np.zeros((nv_pad, s.P + 1), dtype=np.int32)
         idx[:nv * SUB] = s.idx
@@ -445,7 +567,8 @@ def spmv_fn(meta: WMeta, arrays: Dict, x2d):
         return _spmv_dd(meta, arrays, x2d)
     partials = []
     for (P, NV), st in zip(meta.streams, arrays["streams"]):
-        call = _make_colsum(P, meta.s_rows, NV, meta.interpret)
+        mk = _make_colsum if P <= 32 else _make_colsum_dyn
+        call = mk(P, meta.s_rows, NV, meta.interpret)
         partials.append(call(st["wins"], st["vals"], st["idx"], x2d))
 
     y2_parts = []
@@ -495,7 +618,8 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
     xh, xl = x2d["hi"], x2d["lo"]
     partials = []
     for (P, NV), st in zip(meta.streams, arrays["streams"]):
-        call = _make_colsum_dd(P, meta.s_rows, NV, meta.interpret)
+        mk = _make_colsum_dd if P <= 32 else _make_colsum_dyn_dd
+        call = mk(P, meta.s_rows, NV, meta.interpret)
         partials.append(call(st["wins"], st["vals_hi"], st["vals_lo"],
                              st["idx"], xh, xl))
 

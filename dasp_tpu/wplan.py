@@ -67,6 +67,13 @@ LONG_PACK = 127          # long scalars per y2 row (lane 127 stays zero)
 
 W8_CLASSES = (1, 2, 4, 8, 16, 32)
 P_CLASSES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
+# Round classes above 32 run in the dynamic-round colsum kernel (serialized
+# vector loop, ~6x slower per round) instead of the statically unrolled one;
+# they exist so column-sorted long-row TAILS that span hundreds of windows
+# stay on the fast packed path instead of overflowing to the COO fallback
+# (XLA element-gather at ~0.05 Gelem/s measured, tools/gather_bench.py).
+DYN_CLASSES = (64, 128, 256, 512)
+LONG_P_CAP = 512
 # output-gather sources per block:
 # [0] primary slice, [1]/[2] re-routed tails/conflicts (two shared levels),
 # [3]/[4] long-scalar rows
@@ -284,7 +291,7 @@ class _Packet:
 
 
 def _p_class(p_used: int, p_cap: int) -> int:
-    for c in P_CLASSES:
+    for c in P_CLASSES + DYN_CLASSES:
         if p_used <= c:
             return min(c, p_cap)
     return p_cap
@@ -651,6 +658,15 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     scalar_pos_of_row = {int(r): i for i, r in enumerate(scalar_owners)}
     # Phase 1: build every long vreg's element arrays, route them all in
     # ONE native batch call, then assemble packets.
+    #
+    # Element -> vreg assignment packs each row's WINDOW-GROUPS (runs of
+    # equal col//1024 in the sorted stream) into vregs holding <= 32
+    # windows each, adding vregs beyond ceil(len/1024) when the row's
+    # windows don't fit (scattered zipf tails).  A statically-padded vreg
+    # costs ~4x less than a dynamic-round one, so the dyn classes are only
+    # the fallback when padding would exceed DYN_PAD_MAX.
+    LONG_WIN_CAP = P_CLASSES[-1]
+    DYN_PAD_MAX = 4
     long_parts = []
     long_spans = []            # (row, n_vregs)
     for row in scalar_owners:
@@ -663,17 +679,109 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             ln = colv.size
         o = np.argsort(colv, kind="stable")
         colv, valv = colv[o], valv[o]
-        nv = -(-(-(-ln // LANES)) // SUB)
-        t = np.arange(ln)
-        g, lane = t // LANES, t % LANES
-        for v in range(nv):
-            sel = slice(v * VREG, min((v + 1) * VREG, ln))
-            long_parts.append((lane[sel], g[sel] % SUB, colv[sel],
+        nv_base = -(-ln // VREG)
+        w_of = colv // VREG
+        # sequential dealing is optimal when each 1024-chunk already fits
+        # the static window budget (dense sorted regions)
+        chunk_w = [np.unique(w_of[v * VREG:(v + 1) * VREG]).size
+                   for v in range(nv_base)]
+        if max(chunk_w, default=0) <= LONG_WIN_CAP:
+            t = np.arange(ln)
+            g, lane = t // LANES, t % LANES
+            for v in range(nv_base):
+                sel = slice(v * VREG, min((v + 1) * VREG, ln))
+                long_parts.append((lane[sel], g[sel] % SUB, colv[sel],
+                                   valv[sel]))
+            long_spans.append((int(row), nv_base))
+            continue
+        starts = np.r_[0, np.flatnonzero(np.diff(w_of)) + 1]
+        sizes = np.diff(np.r_[starts, ln])
+        n_win = starts.size
+        nv_need = max(nv_base, -(-n_win // LONG_WIN_CAP))
+        if nv_need > DYN_PAD_MAX * nv_base:
+            # too scattered for static padding: sequential deal, dynamic
+            # round classes absorb the window counts (up to LONG_P_CAP)
+            t = np.arange(ln)
+            g, lane = t // LANES, t % LANES
+            for v in range(nv_base):
+                sel = slice(v * VREG, min((v + 1) * VREG, ln))
+                long_parts.append((lane[sel], g[sel] % SUB, colv[sel],
+                                   valv[sel]))
+            long_spans.append((int(row), nv_base))
+            continue
+        # first-fit-decreasing bin-packing of window groups; groups larger
+        # than a vreg are pre-chunked (a chunk fills a whole vreg)
+        group_idx = []
+        for gi in range(n_win):
+            lo, sz = int(starts[gi]), int(sizes[gi])
+            for c0 in range(0, sz, VREG):
+                group_idx.append(np.arange(lo + c0, lo + min(c0 + VREG, sz)))
+        group_idx.sort(key=len, reverse=True)
+        bins: List[List] = []      # [slots_used, windows_used, [idx arrays]]
+        for idxs in group_idx:
+            for b in bins:
+                if b[0] + idxs.size <= VREG and b[1] < LONG_WIN_CAP:
+                    b[2].append(idxs)
+                    b[0] += idxs.size
+                    b[1] += 1
+                    break
+            else:
+                bins.append([idxs.size, 1, [idxs]])
+        for b in bins:
+            sel = np.concatenate(b[2])
+            k = np.arange(sel.size)
+            long_parts.append((k % LANES, (k // LANES) % SUB, colv[sel],
                                valv[sel]))
-        long_spans.append((int(row), nv))
-    routed = _route_vregs_batch(long_parts, p_cap)
-    cursor = 0
-    for row, nv in long_spans:
+        long_spans.append((int(row), len(bins)))
+    # Route, retrying routing-cell rejects in FRESH vregs of the same row
+    # (a long row's slots are position-free: the output is the total sum,
+    # so rejected elements just cost an extra sparsely-filled vreg instead
+    # of falling to the COO fallback, whose XLA element-gather runs at
+    # ~0.05 Gelem/s).  Depth 3 leaves only conflict-of-conflict dregs.
+    owners = [row for row, nv in long_spans for _ in range(nv)]
+    row_tiles: Dict[int, List] = {row: [] for row, _ in long_spans}
+    parts = long_parts
+    for depth in range(3):
+        routed = _route_vregs_batch(parts, LONG_P_CAP)
+        rej: Dict[int, Tuple[List, List]] = {}
+        for (lanes_v, _, colv, valv), (vt, it, wl, om), row in zip(
+                parts, routed, owners):
+            row_tiles[row].append((vt, it, wl))
+            if om.any():
+                cs, vs = rej.setdefault(row, ([], []))
+                cs.append(colv[om])
+                vs.append(valv[om])
+        if not rej:
+            break
+        if depth == 2:
+            for row, (cs, vs) in rej.items():
+                cc = np.concatenate(cs)
+                ovf_r.append(np.full(cc.size, row))
+                ovf_c.append(cc)
+                ovf_v.append(np.concatenate(vs))
+            break
+        parts, owners = [], []
+        for row, (cs, vs) in rej.items():
+            colv = np.concatenate(cs)
+            valv = np.concatenate(vs)
+            o = np.argsort(colv, kind="stable")
+            colv, valv = colv[o], valv[o]
+            w_of = colv // VREG
+            # sequential chunking: new vreg at 32 windows or 1024 slots
+            new_w = np.r_[True, np.diff(w_of) != 0]
+            wcount = np.cumsum(new_w)
+            lo = 0
+            while lo < colv.size:
+                base_w = wcount[lo] - 1
+                hi = int(np.searchsorted(
+                    wcount, base_w + LONG_WIN_CAP, side="right"))
+                hi = min(hi, lo + VREG, colv.size)
+                k = np.arange(hi - lo)
+                parts.append((k % LANES, (k // LANES) % SUB,
+                              colv[lo:hi], valv[lo:hi]))
+                owners.append(row)
+                lo = hi
+    for row, _ in long_spans:
         # Class each vreg by ITS OWN window count: a long row's column-sorted
         # head has 1-2 windows while its scattered tail can use 32 — one
         # packet per round-class keeps the dense head out of the expensive
@@ -682,16 +790,9 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         # cuts the P-weighted vector cost ~5x).  Contributions of one row's
         # packets are summed by the glue via the long gather matrix.
         by_cls: Dict[int, List] = {}
-        for v in range(nv):
-            lanes_v, _, colv, valv = long_parts[cursor]
-            vt, it, wl, om = routed[cursor]
-            cursor += 1
-            if om.any():
-                ovf_r.append(np.full(int(om.sum()), row))
-                ovf_c.append(colv[om])
-                ovf_v.append(valv[om])
-            by_cls.setdefault(_p_class(max(wl.size, 1), p_cap), []).append(
-                (vt, it, wl))
+        for vt, it, wl in row_tiles[row]:
+            by_cls.setdefault(_p_class(max(wl.size, 1), LONG_P_CAP),
+                              []).append((vt, it, wl))
         for cls, tiles in by_cls.items():
             packets.append(_Packet("long", len(tiles), cls, tiles, row))
 
@@ -707,8 +808,13 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     total_v = sum(cls_vregs.values())
     merged: Dict[int, int] = {}
     for i, c in enumerate(order_cls[:-1]):
+        tgt = order_cls[i + 1]
+        # never merge across the static/dynamic kernel boundary: pulling a
+        # statically-unrolled class into a dynamic-round stream would
+        # serialize its (much larger) vreg mass
+        if (c <= P_CLASSES[-1]) != (tgt <= P_CLASSES[-1]):
+            continue
         if cls_vregs[c] < max(256, 0.08 * total_v):
-            tgt = order_cls[i + 1]
             merged[c] = tgt
             cls_vregs[tgt] += cls_vregs[c]
             cls_vregs[c] = 0

@@ -88,7 +88,30 @@ CASES = {
     # overflow attribution (er not filtered with its siblings)
     "powerlaw_deg": lambda rng: powerlaw_like(20_000, 1.7, 20_000, rng,
                                               col_alpha=1.6),
+    # long rows with uniform columns over a wide range: windows per vreg
+    # exceed the static budget by far, forcing the dynamic-round (P > 32)
+    # stream classes and kernels
+    "scattered_long": lambda rng: random_csr(
+        200, 400_000, np.where(np.arange(200) % 50 == 0, 2000, 3), rng),
 }
+
+
+def test_dyn_round_classes(rng):
+    """Uniform scattered long rows must produce dynamic (P > 32) streams
+    and still match golden (exercises _make_colsum_dyn)."""
+    csr = CASES["scattered_long"](rng)
+    plan = build_wplan(csr)
+    assert any(s.P > 32 for s in plan.streams), \
+        "expected dynamic round classes for scattered long rows"
+    from dasp_tpu.ops.pallas_backend import PallasSpMV
+    for dtype, tol in (("f32", 2e-5), ("f64", 1e-10)):
+        op = PallasSpMV(csr, dtype=dtype)
+        x = rng.standard_normal(csr.n_cols)
+        y = op(x)
+        golden = csr.spmv(x)
+        scale = np.maximum(np.abs(golden), 1.0)
+        np.testing.assert_allclose(y / scale, golden / scale,
+                                   rtol=tol, atol=tol)
 
 
 @pytest.mark.parametrize("name", list(CASES))
