@@ -59,7 +59,7 @@ def _load():
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8)]
@@ -69,10 +69,11 @@ def _load():
     return lib
 
 
-def route_vregs(offsets, lane, ipref, col, val, p_cap):
+def route_vregs(offsets, lane, ipref, col, val, p_cap, strides=None):
     """Batch-route vregs via the C++ router.  Returns (vals_tiles
     (V,8,128), idx_tiles (V,8,128) int64, wins (V,p_cap) int64,
-    win_counts (V,), overflow bool (n,))."""
+    win_counts (V,), overflow bool (n,)).  strides: optional (V,) int32
+    per-vreg sublane stride (None = 8)."""
     lib = _load()
     V = offsets.size - 1
     n = int(offsets[-1])
@@ -87,13 +88,18 @@ def route_vregs(offsets, lane, ipref, col, val, p_cap):
     win_counts = np.zeros(V, dtype=np.int32)
     overflow = np.zeros(max(n, 1), dtype=np.uint8)
     P = ctypes.POINTER
+    if strides is None:
+        strides_p = None
+    else:
+        strides = np.ascontiguousarray(strides, dtype=np.int32)
+        strides_p = strides.ctypes.data_as(P(ctypes.c_int32))
     lib.dasp_route_vregs(
         V, offsets.ctypes.data_as(P(ctypes.c_int64)),
         lane.ctypes.data_as(P(ctypes.c_int32)),
         ipref.ctypes.data_as(P(ctypes.c_int32)),
         col.ctypes.data_as(P(ctypes.c_int64)),
         val.ctypes.data_as(P(ctypes.c_double)),
-        p_cap,
+        p_cap, strides_p,
         vals_tiles.ctypes.data_as(P(ctypes.c_double)),
         idx_tiles.ctypes.data_as(P(ctypes.c_int32)),
         wins.ctypes.data_as(P(ctypes.c_int32)),

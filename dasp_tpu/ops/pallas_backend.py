@@ -50,14 +50,19 @@ def _on_tpu() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _make_colsum(P: int, S: int, NV: int, interpret: bool):
+def _make_colsum(P: int, S: int, NV: int, interpret: bool,
+                 stride: int = SUB):
     """(wins (NV,P+1), vals (NV*8,128), idx (NV*8,128), x2d (S,128))
-    -> per-vreg column sums (NV, 128) f32.
+    -> per-level column sums (NV * 8//stride, 128) f32.
 
     wins[:, 0] is the per-vreg round count (reserved for a future dynamic
     path); wins[:, 1+p] the window row offsets.  Rounds are statically
-    unrolled per stream class P."""
+    unrolled per stream class P.  ``stride`` < 8 sums groups of ``stride``
+    sublanes separately: a strided slice hosts 8/stride row LEVELS per
+    lane (short-row packing, the TPU shape of the reference's
+    short1/22/34 strategies, ``dasp_f64.h:283-483``)."""
     UNROLL = UNROLL_INTERPRET if interpret else globals()["UNROLL"]
+    R = SUB // stride
 
     def kernel(win_ref, vals_ref, idx_ref, x_ref, out_ref):
         def body(u, _):
@@ -87,8 +92,12 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool):
                         gp = jnp.take_along_axis(gp, lam, axis=1)
                         g = gp if g is None else jnp.where(rnd == p, gp, g)
                 prod = vals.astype(jnp.float32) * g
-                parts.append(jnp.sum(prod, axis=0, keepdims=True))
-            out_ref[pl.ds(u * UNROLL, UNROLL), :] = jnp.concatenate(parts, 0)
+                for L in range(R):
+                    parts.append(jnp.sum(
+                        prod[L * stride:(L + 1) * stride], axis=0,
+                        keepdims=True))
+            out_ref[pl.ds(u * UNROLL * R, UNROLL * R), :] = \
+                jnp.concatenate(parts, 0)
             return 0
 
         jax.lax.fori_loop(0, BV // UNROLL, body, 0)
@@ -106,9 +115,9 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool):
             pl.BlockSpec((S, LANES), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BV, LANES), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((BV * R, LANES), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NV, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NV * R, LANES), jnp.float32),
         interpret=interpret,
     )
 
@@ -228,11 +237,14 @@ def _make_colsum_dyn_dd(P: int, S: int, NV: int, interpret: bool):
     )
 
 
-def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool):
+def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool,
+                    stride: int = SUB):
     """Double-double colsum: values and the x table are (hi, lo) float32
     pairs (the f32x2 emulation of the reference's fp64 path,
-    ``main_f64.cu`` / ``dasp_f64.h``; see ops/dd.py)."""
+    ``main_f64.cu`` / ``dasp_f64.h``; see ops/dd.py).  ``stride`` as in
+    _make_colsum: per-level sublane sums for strided (short-row) slices."""
     UNROLL = UNROLL_INTERPRET if interpret else globals()["UNROLL"]
+    R = SUB // stride
     from . import dd
 
     def kernel(win_ref, vh_ref, vl_ref, idx_ref, xh_ref, xl_ref,
@@ -271,12 +283,17 @@ def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool):
                             gh = jnp.where(rnd == p, ph, gh)
                             gl = jnp.where(rnd == p, plo, gl)
                 ph, plo = dd.mul(vh, vl, gh, gl)
-                # dd tree-sum over the 8 sublanes
-                sh, sl = dd.sum_axis(ph, plo, 0)
-                parts_h.append(sh[None])
-                parts_l.append(sl[None])
-            oh_ref[pl.ds(u * UNROLL, UNROLL), :] = jnp.concatenate(parts_h, 0)
-            ol_ref[pl.ds(u * UNROLL, UNROLL), :] = jnp.concatenate(parts_l, 0)
+                # dd tree-sum over each level's sublanes
+                for L in range(R):
+                    sh, sl = dd.sum_axis(
+                        ph[L * stride:(L + 1) * stride],
+                        plo[L * stride:(L + 1) * stride], 0)
+                    parts_h.append(sh[None])
+                    parts_l.append(sl[None])
+            oh_ref[pl.ds(u * UNROLL * R, UNROLL * R), :] = \
+                jnp.concatenate(parts_h, 0)
+            ol_ref[pl.ds(u * UNROLL * R, UNROLL * R), :] = \
+                jnp.concatenate(parts_l, 0)
             return 0
 
         jax.lax.fori_loop(0, BV // UNROLL, body, 0)
@@ -298,12 +315,12 @@ def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool):
             pl.BlockSpec((S, LANES), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((BV, LANES), lambda t: (t, 0),
+        out_specs=(pl.BlockSpec((BV * R, LANES), lambda t: (t, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((BV, LANES), lambda t: (t, 0),
+                   pl.BlockSpec((BV * R, LANES), lambda t: (t, 0),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((NV, LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((NV, LANES), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((NV * R, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((NV * R, LANES), jnp.float32)),
         interpret=interpret,
     )
 
@@ -409,9 +426,9 @@ class WMeta(NamedTuple):
     s_rows: int
     n_rows: int
     n_cols: int
-    streams: Tuple[Tuple[int, int], ...]        # (P, NV_padded) per stream
-    sell_segs: Tuple[Tuple[int, int, int, int], ...]
-    # (stream, vreg_offset, n_slices, w8), ordered by out_row
+    streams: Tuple[Tuple[int, int, int], ...]   # (P, stride, NV_padded)
+    sell_segs: Tuple[Tuple[int, int, int, int, int], ...]
+    # (stream, vreg_offset, n_slices, w8, stride), ordered by out_row
     long_groups: Tuple[Tuple[int, int], ...]    # (stream, long_idx index)
     n_long: int
     n_long_rows: int
@@ -468,9 +485,9 @@ def plan_to_arrays(plan, dtype: str = "f32",
             vals[:nv * SUB] = s.vals.astype(vdt)
             entry["vals"] = vals
         arrays["streams"].append(entry)
-        stream_shapes.append((s.P, nv_pad))
+        stream_shapes.append((s.P, s.stride, nv_pad))
 
-    sell_segs = tuple((g.stream, g.vreg_offset, g.n_slices, g.w8)
+    sell_segs = tuple((g.stream, g.vreg_offset, g.n_slices, g.w8, g.stride)
                       for g in plan.sell)
     long_groups = []
     spos_all = []
@@ -566,15 +583,19 @@ def spmv_fn(meta: WMeta, arrays: Dict, x2d):
     if meta.dtype == "f64":
         return _spmv_dd(meta, arrays, x2d)
     partials = []
-    for (P, NV), st in zip(meta.streams, arrays["streams"]):
-        mk = _make_colsum if P <= 32 else _make_colsum_dyn
-        call = mk(P, meta.s_rows, NV, meta.interpret)
+    for (P, stride, NV), st in zip(meta.streams, arrays["streams"]):
+        if P <= 32:
+            call = _make_colsum(P, meta.s_rows, NV, meta.interpret, stride)
+        else:
+            call = _make_colsum_dyn(P, meta.s_rows, NV, meta.interpret)
         partials.append(call(st["wins"], st["vals"], st["idx"], x2d))
 
     y2_parts = []
-    for stream, off, n_slices, w8 in meta.sell_segs:
-        p = partials[stream][off:off + n_slices * w8]
-        y2_parts.append(p.reshape(n_slices, w8, LANES).sum(1))
+    for stream, off, n_slices, w8, stride in meta.sell_segs:
+        R = SUB // stride
+        p = partials[stream][off * R:(off + n_slices * w8) * R]
+        y2_parts.append(p.reshape(n_slices, w8, R, LANES).sum(1)
+                        .reshape(n_slices * R, LANES))
 
     if meta.n_long:
         vreg_totals = [None] * len(meta.streams)
@@ -617,21 +638,25 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
     from . import dd
     xh, xl = x2d["hi"], x2d["lo"]
     partials = []
-    for (P, NV), st in zip(meta.streams, arrays["streams"]):
-        mk = _make_colsum_dd if P <= 32 else _make_colsum_dyn_dd
-        call = mk(P, meta.s_rows, NV, meta.interpret)
+    for (P, stride, NV), st in zip(meta.streams, arrays["streams"]):
+        if P <= 32:
+            call = _make_colsum_dd(P, meta.s_rows, NV, meta.interpret,
+                                   stride)
+        else:
+            call = _make_colsum_dyn_dd(P, meta.s_rows, NV, meta.interpret)
         partials.append(call(st["wins"], st["vals_hi"], st["vals_lo"],
                              st["idx"], xh, xl))
 
     y2h_parts, y2l_parts = [], []
-    for stream, off, n_slices, w8 in meta.sell_segs:
-        ph = partials[stream][0][off:off + n_slices * w8]
-        plo = partials[stream][1][off:off + n_slices * w8]
-        sh, sl = dd.sum_axis(ph.reshape(n_slices, w8, LANES),
-                             plo.reshape(n_slices, w8, LANES), 1,
+    for stream, off, n_slices, w8, stride in meta.sell_segs:
+        R = SUB // stride
+        ph = partials[stream][0][off * R:(off + n_slices * w8) * R]
+        plo = partials[stream][1][off * R:(off + n_slices * w8) * R]
+        sh, sl = dd.sum_axis(ph.reshape(n_slices, w8, R * LANES),
+                             plo.reshape(n_slices, w8, R * LANES), 1,
                              safe=True)
-        y2h_parts.append(sh)
-        y2l_parts.append(sl)
+        y2h_parts.append(sh.reshape(n_slices * R, LANES))
+        y2l_parts.append(sl.reshape(n_slices * R, LANES))
 
     if meta.n_long:
         vreg_totals = [None] * len(meta.streams)

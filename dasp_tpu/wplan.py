@@ -75,19 +75,29 @@ P_CLASSES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
 DYN_CLASSES = (64, 128, 256, 512)
 LONG_P_CAP = 512
 # output-gather sources per block:
-# [0] primary slice, [1]/[2] re-routed tails/conflicts (two shared levels),
-# [3]/[4] long-scalar rows
-K_SOURCES = 5
+# [0] primary slice, [1] short {1,2}-nnz slice (stride 2), [2] short
+# {3,4}-nnz slice (stride 4), [3]/[4] re-routed tails/conflicts (two
+# shared levels), [5]/[6] long-scalar rows.  The short sources carry the
+# reference's short-row strategies (``dasp_f64.h:595-713``) as strided
+# shared slices: 8/stride row levels per lane so 1-4 nnz rows fill the
+# vreg instead of leaving 7/8 sublanes as padding.
+K_SOURCES = 7
+SHORT_MAX = 4
+SHORT_BUCKETS = ((2, 2), (4, 4))   # (max_len, stride) per short source
 
 
 @dataclasses.dataclass
 class WStream:
-    """One Pallas launch: all vregs sharing a round-class P."""
+    """One Pallas launch: all vregs sharing a round-class P and sublane
+    stride (the kernel sums groups of ``stride`` sublanes, emitting
+    8/stride output rows per vreg — strided slices hold 8/stride row
+    LEVELS per lane, subsuming the reference's short-row strategies)."""
     P: int
     vals: np.ndarray          # (NV*8, 128) float64 (cast at lowering)
     idx: np.ndarray           # (NV*8, 128) int32
     wins: np.ndarray          # (NV, P) int32 row offsets into x2d (mult 8)
     win_counts: np.ndarray    # (NV,) int32 rounds actually used per vreg
+    stride: int = SUB
 
     @property
     def n_vregs(self) -> int:
@@ -102,6 +112,7 @@ class SellSegment:
     n_slices: int
     w8: int
     out_row: int              # first y2 row produced by this segment
+    stride: int = SUB         # each slice yields 8/stride y2 rows
 
 
 @dataclasses.dataclass
@@ -174,11 +185,12 @@ def _native_router():
     return _NATIVE_ROUTER
 
 
-def _route_vregs_batch(parts, p_cap: int):
+def _route_vregs_batch(parts, p_cap: int, strides=None):
     """Route a batch of vregs: ``parts`` is a list of (lane, ipref, col,
     val) tuples, one per vreg.  Returns a list of (vals_tile, idx_tile,
-    win_list, overflow_mask) in the same order.  Uses the native C++ router
-    in ONE call when built."""
+    win_list, overflow_mask) in the same order.  ``strides``: optional
+    per-vreg sublane stride list (None = all 8).  Uses the native C++
+    router in ONE call when built."""
     nat = _native_router()
     if nat and parts:
         sizes = np.array([p[0].size for p in parts], dtype=np.int64)
@@ -189,21 +201,29 @@ def _route_vregs_batch(parts, p_cap: int):
         col = np.concatenate([p[2] for p in parts])
         val = np.concatenate([p[3] for p in parts])
         vt, it, wins, wc, ovf = nat.route_vregs(
-            offsets, lane, ipref, col, val, p_cap)
+            offsets, lane, ipref, col, val, p_cap,
+            np.asarray(strides, dtype=np.int32)
+            if strides is not None else None)
         return [(vt[v], it[v], wins[v, :wc[v]],
                  ovf[offsets[v]:offsets[v + 1]])
                 for v in range(len(parts))]
-    return [_route_vreg(*p, p_cap) for p in parts]
+    if strides is None:
+        return [_route_vreg(*p, p_cap) for p in parts]
+    return [_route_vreg(*p, p_cap, stride=s)
+            for p, s in zip(parts, strides)]
 
 
 def _route_vreg(lane: np.ndarray, ipref: np.ndarray, col: np.ndarray,
-                val: np.ndarray, p_cap: int):
+                val: np.ndarray, p_cap: int, stride: int = SUB):
     """Route one vreg's elements into slots.  Returns (vals_tile, idx_tile,
-    win_list, overflow_mask).  Uses the native C++ router (native/router.cpp)
-    when built; the numpy implementation below is the semantics oracle."""
+    win_list, overflow_mask).  ``stride``: sublane attempts stay within the
+    element's stride-group (strided slices, see build_wplan).  Uses the
+    native C++ router (native/router.cpp) when built; the numpy
+    implementation below is the semantics oracle."""
     nat = _native_router()
     if nat:
-        return _route_vregs_batch([(lane, ipref, col, val)], p_cap)[0]
+        return _route_vregs_batch([(lane, ipref, col, val)], p_cap,
+                                  [stride])[0]
     n = lane.size
     w = (col // VREG) * SUB
     q_rel = (col // LANES) % SUB
@@ -225,10 +245,11 @@ def _route_vreg(lane: np.ndarray, ipref: np.ndarray, col: np.ndarray,
 
     todo = np.flatnonzero(~overflow)
     attempt = ipref.astype(np.int64).copy()
-    for _ in range(SUB):
+    base = (ipref.astype(np.int64) // stride) * stride
+    for _ in range(stride):
         if todo.size == 0:
             break
-        i_t = attempt[todo] % SUB
+        i_t = base[todo] + attempt[todo] % stride
         cell = cell_owner[i_t, lam[todo]]
         ok = (~lane_used[i_t, lane[todo]]) & \
              ((cell == -1) | (cell == src_row[todo]))
@@ -280,14 +301,15 @@ def _route_vreg(lane: np.ndarray, ipref: np.ndarray, col: np.ndarray,
 
 
 class _Packet:
-    __slots__ = ("kind", "w8", "cls", "tiles", "block")
+    __slots__ = ("kind", "w8", "cls", "tiles", "block", "stride")
 
-    def __init__(self, kind, w8, cls, tiles, block):
+    def __init__(self, kind, w8, cls, tiles, block, stride=SUB):
         self.kind = kind      # 'sell' | 'rem' | 'long'
         self.w8 = w8
         self.cls = cls
         self.tiles = tiles
-        self.block = block    # block id for sell/rem; row id for long
+        self.block = block    # slice id for sell, rem-slice id, row (long)
+        self.stride = stride  # sublanes per row level (sell slices)
 
 
 def _p_class(p_used: int, p_cap: int) -> int:
@@ -344,12 +366,22 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         else:
             frags[row] = (colv, valv)
 
-    # Vectorized primary packing: lane assignment, width choice, element
-    # distribution and tail carving for ALL blocks at once, then batched
-    # router calls with per-block width-doubling retries.
+    # Vectorized primary packing.  Slices are STRIDED: a slice of stride
+    # s hosts 8/s consecutive blocks, one per sublane LEVEL — block L's
+    # rows live in sublanes [L*s, L*s+s) of every slice vreg and the
+    # colsum kernel emits per-level sums.  Short-row blocks (the
+    # reference's short1/22/34 strategies, ``dasp_f64.h:595-713``) thus
+    # fill the vreg instead of leaving 7/8 sublanes as padding; medium
+    # blocks keep stride 8 (the classic SELL slice).  Width choice and
+    # element distribution run for ALL blocks at once, then batched
+    # router calls retry congested slices at doubled stride / width.
+    slice_of_block = np.full(B, -1, dtype=np.int64)
+    level_of_block = np.zeros(B, dtype=np.int64)
+    short_cut = min(SHORT_MAX, config.block_longest - 1)
     if n:
         blk = np.arange(n) // LANES
-        sellable = (~is_long) & (lens > 0)
+        is_short = (~is_long) & (lens > 0) & (lens <= short_cut)
+        sellable = (~is_long) & (lens > short_cut)
         order = np.lexsort((-lens, ~sellable, blk))
         lane_sorted = np.arange(n) - LANES * blk[order]
         sel_sorted = sellable[order]
@@ -359,146 +391,337 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
 
         Lmat = np.zeros((B, LANES), dtype=np.int64)
         Lmat[blk[order], lane_sorted] = np.where(sel_sorted, lens[order], 0)
+        nnz_sell_b = Lmat.sum(axis=1)
+        # per (stride, W8): coverage and the occupancy-chosen width, then
+        # pick the stride minimizing slots + spill cost.  A spilled element
+        # lands in the stride-8 shared rem slices at low occupancy (~8
+        # slots each, measured fill explosion at lower weights), and a
+        # stride choice may never spill MORE than the classic stride-8
+        # choice would (its spills are genuine tails, handled by frags).
+        SPILL_W = 8.0
+        best_cost = None
+        s_choice = np.full(B, SUB, dtype=np.int64)
         w8_choice = np.full(B, W8_CLASSES[0], dtype=np.int64)
-        for c in W8_CLASSES:
-            occ = np.minimum(Lmat, SUB * c).sum(axis=1) / (LANES * SUB * c)
-            w8_choice = np.where(occ >= config.threshold, c, w8_choice)
+        cover8 = None
+        for s in (SUB, 4, 2, 1):
+            w8_s = np.full(B, W8_CLASSES[0], dtype=np.int64)
+            for c in W8_CLASSES:
+                occ = np.minimum(Lmat, s * c).sum(axis=1) / (LANES * s * c)
+                w8_s = np.where(occ >= config.threshold, c, w8_s)
+            cover = np.take_along_axis(
+                np.stack([np.minimum(Lmat, s * c).sum(axis=1)
+                          for c in W8_CLASSES]),
+                np.searchsorted(np.array(W8_CLASSES), w8_s)[None], 0)[0]
+            cost = LANES * s * w8_s + SPILL_W * (nnz_sell_b - cover)
+            if best_cost is None:          # s == 8: the reference choice
+                best_cost = cost
+                w8_choice = w8_s
+                cover8 = cover
+            else:
+                upd = (cost < best_cost) & (cover >= cover8)
+                best_cost = np.where(upd, cost, best_cost)
+                s_choice = np.where(upd, s, s_choice)
+                w8_choice = np.where(upd, w8_s, w8_choice)
+
+        # blocks whose best own slice would still be mostly padding dump
+        # their few medium rows into the SHARED rem slices (127 rows from a
+        # block neighborhood) instead of paying a nearly-empty private one
+        dump = (LANES * s_choice * w8_choice > 3 * nnz_sell_b)
+        if dump.any():
+            drows = np.flatnonzero(sellable & dump[blk])
+            if drows.size:
+                dl = lens[drows]
+                eidx = np.repeat(rpt[drows], dl) + (
+                    np.arange(int(dl.sum())) - np.repeat(
+                        np.concatenate([[0], np.cumsum(dl)[:-1]]), dl))
+                ovf_r.append(np.repeat(drows, dl))
+                ovf_c.append(cols_all[eidx])
+                ovf_v.append(vals_all[eidx])
+                block_lane_of_row[drows] = -1
+                sellable[drows] = False
 
         rows_sell_all = np.flatnonzero(sellable)
+        s_row0 = s_choice[blk[rows_sell_all]]
         w8_row0 = w8_choice[blk[rows_sell_all]]
-        reg_all = np.minimum(lens[rows_sell_all], SUB * w8_row0)
+        reg_all = np.minimum(lens[rows_sell_all], s_row0 * w8_row0)
         tail = lens[rows_sell_all] - reg_all
-        # tails: big ones -> scalar fragments; small -> rem2 via overflow
-        for ri in np.flatnonzero(tail > FRAG_MIN):
-            r = rows_sell_all[ri]
-            t0 = int(rpt[r] + reg_all[ri])
-            t1 = int(rpt[r + 1])
-            add_frag(int(r), cols_all[t0:t1], vals_all[t0:t1])
-        small = np.flatnonzero((tail > 0) & (tail <= FRAG_MIN))
-        if small.size:
-            st = rpt[rows_sell_all[small]] + reg_all[small]
-            tl = tail[small]
+        # tails go to the shared rem slices (length-segregated there; a
+        # per-row fragment vreg would be mostly padding for tails < 1024)
+        tailed = np.flatnonzero(tail > 0)
+        if tailed.size:
+            st = rpt[rows_sell_all[tailed]] + reg_all[tailed]
+            tl = tail[tailed]
             eidx = np.repeat(st, tl) + (
                 np.arange(int(tl.sum())) - np.repeat(
                     np.concatenate([[0], np.cumsum(tl)[:-1]]), tl))
-            ovf_r.append(np.repeat(rows_sell_all[small], tl))
+            ovf_r.append(np.repeat(rows_sell_all[tailed], tl))
             ovf_c.append(cols_all[eidx])
             ovf_v.append(vals_all[eidx])
 
-        def batch_route_blocks(block_ids, w8_of):
-            """Route the given blocks' regular elements at widths w8_of
-            (indexed by block id).  Returns (results, loss, rejects) where
-            results[b] = (tiles, p_used); rejects = (rows, cols, vals)."""
-            inb = np.zeros(B, dtype=bool)
-            inb[block_ids] = True
-            sub_mask = inb[blk[rows_sell_all]]
+        # group consecutive blocks with equal (stride, W8) into slices of
+        # up to 8/stride blocks (one level each); dumped/empty blocks get
+        # no slice (their primary gather reads the zero row)
+        has_sell_b = np.bincount(blk[rows_sell_all], minlength=B) > 0
+        slices: List[List] = []     # [stride, w8, [block ids]]
+        for b in range(B):
+            if not has_sell_b[b]:
+                continue
+            s, w8 = int(s_choice[b]), int(w8_choice[b])
+            if (slices and slices[-1][0] == s and slices[-1][1] == w8
+                    and len(slices[-1][2]) < SUB // s
+                    and slices[-1][2][-1] == b - 1):
+                slices[-1][2].append(b)
+            else:
+                slices.append([s, w8, [b]])
+
+        def batch_route_slices(slice_ids):
+            """Route the given slices' regular elements.  Returns
+            (results, loss, rejects): results[sid] = (tiles, w8, p_used);
+            loss per slice id; rejects = (rows, cols, vals)."""
+            base_of = {}
+            v_cursor = 0
+            stride_v: List[int] = []
+            for sid in slice_ids:
+                s, w8, _ = slices[sid]
+                base_of[sid] = v_cursor
+                v_cursor += w8
+                stride_v.extend([s] * w8)
+            total_vregs = v_cursor
+            sid_of_block = np.full(B, -1, dtype=np.int64)
+            for sid in slice_ids:
+                for b in slices[sid][2]:
+                    sid_of_block[b] = sid
+            sub_mask = sid_of_block[blk[rows_sell_all]] >= 0
             rows_sell = rows_sell_all[sub_mask]
             reg = reg_all[sub_mask]          # regular region is FIXED by
-            w8_row = w8_of[blk[rows_sell]]   # the first width choice
+            s_row = s_row0[sub_mask]         # the first (stride, width)
+            w8_row = w8_row0[sub_mask]       # choice
             c_row = np.maximum(1, -(-reg // w8_row))
             tot = int(reg.sum())
-            estart = np.concatenate([[0], np.cumsum(reg)[:-1]])
+            estart = (np.concatenate([[0], np.cumsum(reg)[:-1]])
+                      if reg.size else np.zeros(0, dtype=np.int64))
             k = np.arange(tot) - np.repeat(estart, reg)
             c_rep = np.repeat(c_row, reg)
-            vreg_local = k // c_rep
-            ipref = (k % c_rep).astype(np.int64)
-            w8_sub = w8_of[block_ids]
-            base_arr = np.full(B, -1, dtype=np.int64)
-            base_arr[block_ids] = np.concatenate(
-                [[0], np.cumsum(w8_sub)[:-1]])
-            vb = base_arr[blk[rows_sell]]
+            vreg_local = k // np.maximum(c_rep, 1)
+            vb = np.array([base_of[sid_of_block[b]]
+                           for b in blk[rows_sell]], dtype=np.int64)
             vreg_id = np.repeat(vb, reg) + vreg_local
+            ipref = (np.repeat(level_of_block[blk[rows_sell]] * s_row, reg)
+                     + (k % c_rep)).astype(np.int64)
             elane = np.repeat(block_lane_of_row[rows_sell], reg)
             eidx2 = np.repeat(rpt[rows_sell], reg) + k
             erow = np.repeat(rows_sell, reg)
             ecol = cols_all[eidx2]
             eval_ = vals_all[eidx2]
             o2 = np.argsort(vreg_id, kind="stable")
-            total_vregs = int(w8_sub.sum())
             offsets = np.zeros(total_vregs + 1, dtype=np.int64)
             np.cumsum(np.bincount(vreg_id[o2], minlength=total_vregs),
                       out=offsets[1:])
             lane_s, ipref_s = elane[o2], ipref[o2]
             col_s, val_s, erow_s = ecol[o2], eval_[o2], erow[o2]
-            nat = _native_router()
-            if nat:
-                vt, it, wins, wc, ovf = nat.route_vregs(
-                    offsets, lane_s, ipref_s, col_s, val_s, p_cap)
-            else:
-                routed = [_route_vreg(
-                    lane_s[offsets[v]:offsets[v + 1]],
-                    ipref_s[offsets[v]:offsets[v + 1]],
-                    col_s[offsets[v]:offsets[v + 1]],
-                    val_s[offsets[v]:offsets[v + 1]], p_cap)
-                    for v in range(total_vregs)]
-                vt = (np.stack([r[0] for r in routed]) if routed else
-                      np.zeros((0, SUB, LANES)))
-                it = (np.stack([r[1] for r in routed]) if routed else
-                      np.zeros((0, SUB, LANES), dtype=np.int64))
-                wins = np.zeros((total_vregs, p_cap), dtype=np.int64)
-                wc = np.zeros(total_vregs, dtype=np.int32)
-                ovf = np.zeros(tot, dtype=bool)
-                for v, r in enumerate(routed):
-                    wins[v, :r[2].size] = r[2]
-                    wc[v] = r[2].size
-                    ovf[offsets[v]:offsets[v + 1]] = r[3]
-            loss = (np.bincount(blk[erow_s[ovf]], minlength=B)
-                    if ovf.any() else np.zeros(B, dtype=np.int64))
+            parts = [(lane_s[offsets[v]:offsets[v + 1]],
+                      ipref_s[offsets[v]:offsets[v + 1]],
+                      col_s[offsets[v]:offsets[v + 1]],
+                      val_s[offsets[v]:offsets[v + 1]])
+                     for v in range(total_vregs)]
+            routed = _route_vregs_batch(parts, p_cap, stride_v)
+            ovf_sorted = np.concatenate([r[3] for r in routed]) \
+                if routed else np.zeros(0, dtype=bool)
+            loss = {}
+            rej_b = blk[erow_s[ovf_sorted]] if ovf_sorted.any() else \
+                np.zeros(0, dtype=np.int64)
+            for sid in slice_ids:
+                loss[sid] = 0
+            for b in rej_b:
+                loss[int(sid_of_block[b])] += 1
             results = {}
-            for j, b in enumerate(block_ids.tolist()):
-                lo = int(base_arr[b])
-                w8 = int(w8_sub[j])
-                tiles = [(vt[v], it[v], wins[v, :wc[v]])
+            for sid in slice_ids:
+                s, w8, _ = slices[sid]
+                lo = base_of[sid]
+                tiles = [(routed[v][0], routed[v][1], routed[v][2])
                          for v in range(lo, lo + w8)]
-                p_used = max(1, int(wc[lo:lo + w8].max(initial=1)))
-                results[b] = (tiles, w8, p_used)
-            rejects = (erow_s[ovf], col_s[ovf], val_s[ovf])
+                p_used = max([1] + [t[2].size for t in tiles])
+                results[sid] = (tiles, w8, p_used)
+            rejects = (erow_s[ovf_sorted], col_s[ovf_sorted],
+                       val_s[ovf_sorted])
             return results, loss, rejects
 
         elems_b = np.bincount(blk[rows_sell_all], weights=reg_all,
                               minlength=B).astype(np.int64)
-        pending = np.arange(B)
-        w8_cur = w8_choice.copy()
-        final_results = {}
-        for attempt in range(3):
-            results, loss, rejects = batch_route_blocks(pending, w8_cur)
-            widenable = np.array(
-                [w8_cur[b] != W8_CLASSES[-1] for b in pending])
-            bad = (loss[pending] > 0.05 * np.maximum(elems_b[pending], 1)) \
-                & widenable
-            good = pending[~bad]
-            for b in good.tolist():
-                final_results[b] = results[b]
-            # keep rejects belonging to accepted blocks
-            rj_b = blk[rejects[0]] if rejects[0].size else \
-                np.zeros(0, dtype=np.int64)
-            ing = np.zeros(B, dtype=bool)
-            ing[good] = True
-            keep = ing[rj_b] if rj_b.size else np.zeros(0, dtype=bool)
-            if keep.any():
-                ovf_r.append(rejects[0][keep])
-                ovf_c.append(rejects[1][keep])
-                ovf_v.append(rejects[2][keep])
-            pending = pending[bad]
-            if pending.size == 0:
-                break
-            for b in pending:
-                w8_cur[b] = W8_CLASSES[min(W8_CLASSES.index(int(w8_cur[b]))
-                                           + 1, len(W8_CLASSES) - 1)]
-        else:
-            # last attempt's remaining blocks: accept as-is
-            results, loss, rejects = batch_route_blocks(pending, w8_cur)
-            for b in pending.tolist():
-                final_results[b] = results[b]
-            if rejects[0].size:
-                ovf_r.append(rejects[0])
-                ovf_c.append(rejects[1])
-                ovf_v.append(rejects[2])
+        final_results = {}      # sid -> (tiles, w8, p_used)
 
-        for b in range(B):
-            tiles, w8, p_used = final_results[b]
+        def set_levels():
+            for sid in pending:
+                for L, b in enumerate(slices[sid][2]):
+                    slice_of_block[b] = sid
+                    level_of_block[b] = L
+
+        pending = list(range(len(slices)))
+        set_levels()
+        for attempt in range(4):
+            results, loss, rejects = batch_route_slices(pending)
+            still = []
+            accepted = set()
+            for sid in pending:
+                s, w8, bl = slices[sid]
+                budget = 0.05 * max(int(elems_b[bl].sum()), 1)
+                growable = (s < SUB) or (w8 != W8_CLASSES[-1])
+                if loss[sid] > budget and growable and attempt < 3:
+                    still.append(sid)
+                else:
+                    final_results[sid] = results[sid]
+                    accepted.add(sid)
+            # keep rejects belonging to accepted slices
+            if rejects[0].size:
+                rj_sid = np.array([slice_of_block[blk[r]]
+                                   for r in rejects[0]])
+                keep = np.isin(rj_sid, list(accepted)) if accepted else \
+                    np.zeros(rj_sid.size, dtype=bool)
+                if keep.any():
+                    ovf_r.append(rejects[0][keep])
+                    ovf_c.append(rejects[1][keep])
+                    ovf_v.append(rejects[2][keep])
+            if not still:
+                break
+            # congested slices retry: double the stride (splitting the
+            # block group) until 8, then double the width
+            pending = []
+            for sid in still:
+                s, w8, bl = slices[sid]
+                if s < SUB:
+                    s2 = s * 2
+                    cap = SUB // s2
+                    slices[sid] = [s2, w8, bl[:cap]]
+                    pending.append(sid)
+                    for lo in range(cap, len(bl), cap):
+                        slices.append([s2, w8, bl[lo:lo + cap]])
+                        pending.append(len(slices) - 1)
+                else:
+                    w82 = W8_CLASSES[min(W8_CLASSES.index(w8) + 1,
+                                         len(W8_CLASSES) - 1)]
+                    slices[sid] = [s, w82, bl]
+                    pending.append(sid)
+            set_levels()
+            # the regular region stays FIXED by the first (stride, width)
+            # choice (tails were already carved); the retry only gains
+            # routing room, so update the per-row stride/width views used
+            # for ipref/vreg computation
+            for sid in pending:
+                s, w8, bl = slices[sid]
+                for b in bl:
+                    s_choice[b] = s
+                    w8_choice[b] = w8
+            s_row0 = s_choice[blk[rows_sell_all]]
+            w8_row0 = w8_choice[blk[rows_sell_all]]
+
+        for sid, (tiles, w8, p_used) in final_results.items():
+            s = slices[sid][0]
             packets.append(_Packet("sell", w8, _p_class(p_used, p_cap),
-                                   tiles, b))
+                                   tiles, sid, stride=s))
+
+    # ---- short-row family: strided shared slices ------------------------
+    # Rows with 1..SHORT_MAX nnz pack into dedicated shared slices of
+    # stride 2 ({1,2}-nnz) and stride 4 ({3,4}-nnz): 8/stride row LEVELS
+    # share each lane column, the kernel emits per-level sums, and each
+    # block's bucket rows sit block-atomically in one level so one
+    # outgather source per bucket suffices (k=1,2).  This is the TPU
+    # shape of the reference's short1/22/34 strategies
+    # (``dasp_f64.h:595-713``); conflict rejects spill to the rem levels.
+    short_lane_of_row = np.full(n, -1, dtype=np.int64)
+    short_bucket_of_row = np.full(n, -1, dtype=np.int64)
+    short_slice_of_block = [np.full(B, -1, dtype=np.int64)
+                            for _ in SHORT_BUCKETS]
+    short_level_of_block = [np.zeros(B, dtype=np.int64)
+                            for _ in SHORT_BUCKETS]
+    n_short_slices = [0] * len(SHORT_BUCKETS)
+    if n:
+        CAPS = LANES - 1                  # lane 127 reserved always-zero
+        short_parts, short_strides, short_owner = [], [], []
+        prev_max = 0
+        for bi, (max_len, s) in enumerate(SHORT_BUCKETS):
+            sel_rows = np.flatnonzero(is_short & (lens > prev_max)
+                                      & (lens <= max_len))
+            prev_max = max_len
+            if sel_rows.size == 0:
+                continue
+            G = SUB // s                  # levels per slice
+            ub, bstart = np.unique(blk[sel_rows], return_index=True)
+            bstart = np.append(bstart, sel_rows.size)
+            # slice/level accumulation, block-atomic per level
+            sid = n_short_slices[bi]
+            level, cnt = 0, 0
+            level_rows: List[np.ndarray] = []
+
+            def flush_level(bi=bi, s=s):
+                nonlocal level_rows, cnt
+                if not level_rows:
+                    return
+                rows_l = np.concatenate(level_rows)
+                lanes_l = np.arange(rows_l.size)
+                short_lane_of_row[rows_l] = lanes_l
+                short_bucket_of_row[rows_l] = bi
+                ln_l = lens[rows_l]
+                tot = int(ln_l.sum())
+                starts = np.concatenate([[0], np.cumsum(ln_l)[:-1]])
+                k = np.arange(tot) - np.repeat(starts, ln_l)
+                eidx = np.repeat(rpt[rows_l], ln_l) + k
+                short_parts[-1][0].append(np.repeat(lanes_l, ln_l))
+                short_parts[-1][1].append(level * s + k)
+                short_parts[-1][2].append(cols_all[eidx])
+                short_parts[-1][3].append(vals_all[eidx])
+                short_parts[-1][4].append(np.repeat(rows_l, ln_l))
+                level_rows = []
+                cnt = 0
+
+            def open_slice(bi=bi, s=s):
+                short_parts.append(([], [], [], [], []))
+                short_strides.append(s)
+                short_owner.append((bi, n_short_slices[bi]))
+                n_short_slices[bi] += 1
+
+            open_slice()
+            for j, b in enumerate(ub):
+                br = sel_rows[bstart[j]:bstart[j + 1]]
+                if br.size > CAPS:
+                    for r in br[CAPS:]:
+                        s0, s1 = int(rpt[r]), int(rpt[r + 1])
+                        ovf_r.append(np.full(s1 - s0, r))
+                        ovf_c.append(cols_all[s0:s1])
+                        ovf_v.append(vals_all[s0:s1])
+                    br = br[:CAPS]
+                if cnt + br.size > CAPS:
+                    flush_level()
+                    level += 1
+                    if level == G:
+                        open_slice()
+                        level = 0
+                short_slice_of_block[bi][b] = short_owner[-1][1]
+                short_level_of_block[bi][b] = level
+                level_rows.append(br)
+                cnt += br.size
+            flush_level()
+        if short_parts:
+            erows = [np.concatenate(p[4]) if p[4] else
+                     np.zeros(0, dtype=np.int64) for p in short_parts]
+            parts = [(np.concatenate(p[0]) if p[0] else
+                      np.zeros(0, dtype=np.int64),
+                      np.concatenate(p[1]) if p[1] else
+                      np.zeros(0, dtype=np.int64),
+                      np.concatenate(p[2]) if p[2] else
+                      np.zeros(0, dtype=np.int64),
+                      np.concatenate(p[3]) if p[3] else np.zeros(0))
+                     for p in short_parts]
+            routed = _route_vregs_batch(parts, p_cap, short_strides)
+            for (vt, it, wl, om), s, (bi, sid) \
+                    in zip(routed, short_strides, short_owner):
+                packets.append(_Packet(
+                    f"short{bi}", 1, _p_class(max(wl.size, 1), p_cap),
+                    [(vt, it, wl)], sid, stride=s))
+            for pt, er, (vt, it, wl, om) in zip(parts, erows, routed):
+                if om.any():
+                    ovf_r.append(er[om])
+                    ovf_c.append(pt[2][om])
+                    ovf_v.append(pt[3][om])
 
 
     # ---- rem2: re-route conflict rejects per block ----------------------
@@ -556,8 +779,12 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             np.cumsum(cnts, out=starts[1:])
             local = np.arange(lanes_e.size) - starts[lanes_e]
 
-            w8 = _choose_w8(np.minimum(cnts, SUB * W8_CLASSES[-1]),
-                            config.threshold)
+            # width covers the slice's LONGEST row outright: profile-sorted
+            # grouping makes slices length-homogeneous, so capacity drops
+            # (which would cost a frag-vreg each) never happen; only
+            # routing conflicts spill
+            max_len = int(np.minimum(cnts, SUB * W8_CLASSES[-1]).max())
+            w8 = next(c for c in W8_CLASSES if SUB * c >= max_len)
             best = None
             while True:
                 cap = SUB * w8
@@ -584,11 +811,15 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                         ovfs.append(sel_v)
                     p_used = max(p_used, wl.size)
                     tiles.append((vt, it, wl))
-                lost = n_ovf + n_drop   # conflicts AND capacity drops
+                lost = n_ovf + n_drop
                 cand = (tiles, p_used, n_ovf, ovfs, cap, lost)
                 if best is None or lost < best[5]:
                     best = cand
-                if (lost <= 0.05 * max(lanes_e.size, 1)
+                # grow the width only for routing CONFLICTS — growing to
+                # chase a few long rows' capacity pads the whole slice
+                # (measured occ 0.11 on power-law rem pools); capacity
+                # tails cascade to the next level / fragments instead
+                if (n_ovf <= 0.01 * max(lanes_e.size, 1)
                         or w8 == W8_CLASSES[-1]):
                     break
                 w8 = W8_CLASSES[W8_CLASSES.index(w8) + 1]
@@ -599,18 +830,36 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 left_r.append(er[sel_v])
                 left_c.append(ec[sel_v])
                 left_v.append(ev[sel_v])
-            # beyond-capacity elements -> fragments
+            # beyond-capacity elements: the long level (built FIRST) drops
+            # short tails that cascade into the short level's pool; the
+            # short level (last) fragments its rare residue
             dropm = local >= cap
             if dropm.any():
-                for r in np.unique(er[dropm]):
-                    selr = dropm & (er == r)
-                    add_frag(int(r), ec[selr], ev[selr])
+                if level == 1:
+                    left_r.append(er[dropm])
+                    left_c.append(ec[dropm])
+                    left_v.append(ev[dropm])
+                else:
+                    for r in np.unique(er[dropm]):
+                        selr = dropm & (er == r)
+                        add_frag(int(r), ec[selr], ev[selr])
             packets.append(_Packet(kind, w8, _p_class(p_used, p_cap),
                                    tiles, sid))
 
+        # Block grouping: level 0 (short tails) groups ADJACENT blocks for
+        # window locality; level 1 (longer rows) groups blocks by LENGTH
+        # PROFILE so each slice's occupancy-chosen width fits its rows
+        # (length heterogeneity, not locality, dominated its padding).
+        if level == 0:
+            block_order = np.unique(ublocks)
+        else:
+            ubs = np.unique(ublocks)
+            prof = np.array([row_counts[ublocks == b].max() for b in ubs])
+            block_order = ubs[np.argsort(prof, kind="stable")]
         cur_rows, cur_blocks, cur_count = [], [], 0
-        for b in np.unique(ublocks):
-            if cur_blocks and b - cur_blocks[0] >= NEIGHBORHOOD:
+        for b in block_order:
+            if (level == 0 and cur_blocks
+                    and b - cur_blocks[0] >= NEIGHBORHOOD):
                 emit(np.concatenate(cur_rows), cur_blocks)
                 cur_rows, cur_blocks, cur_count = [], [], 0
             br = urows_all[ublocks == b]
@@ -643,10 +892,23 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         ovf_r.clear()
         ovf_c.clear()
         ovf_v.clear()
-        for level in range(2):
-            if o_r.size == 0:
-                break
-            o_r, o_c, o_v = build_shared_level(level, o_r, o_c, o_v)
+        # length segregation: rows with many overflow elements go to the
+        # LONG level (built first, width sized for its pool); its conflict
+        # rejects and capacity tails — short by then — cascade into the
+        # SHORT level's pool, whose residue goes to COO
+        rcnt = np.bincount(o_r, minlength=n)
+        small = rcnt[o_r] <= 2 * SUB
+        if (~small).any():
+            r1, c1, v1 = build_shared_level(1, o_r[~small], o_c[~small],
+                                            o_v[~small])
+        else:
+            r1 = np.empty(0, dtype=np.int64)
+            c1, v1 = np.empty(0, dtype=np.int64), np.empty(0)
+        o_r = np.concatenate([o_r[small], r1])
+        o_c = np.concatenate([o_c[small], c1])
+        o_v = np.concatenate([o_v[small], v1])
+        if o_r.size:
+            o_r, o_c, o_v = build_shared_level(0, o_r, o_c, o_v)
         if o_r.size:
             ovf_r.append(o_r)
             ovf_c.append(o_c)
@@ -801,18 +1063,23 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # with fixed overhead, so a class worth <8% of the vregs (or <256)
     # rides along with the next class (its vregs just skip unused rounds
     # via per-slot round tags; the extra rounds cost less than a launch).
-    cls_vregs: Dict[int, int] = {}
+    cls_vregs: Dict[Tuple[int, int], int] = {}    # (cls, stride) -> vregs
     for p in packets:
-        cls_vregs[p.cls] = cls_vregs.get(p.cls, 0) + p.w8
-    order_cls = sorted(cls_vregs)
+        key = (p.cls, p.stride)
+        cls_vregs[key] = cls_vregs.get(key, 0) + p.w8
+    # merge within one stride family only (the kernel's reduction stride is
+    # a compile-time property of the stream)
+    order_cls = sorted(cls_vregs, key=lambda k: (k[1], k[0]))
     total_v = sum(cls_vregs.values())
-    merged: Dict[int, int] = {}
+    merged: Dict[Tuple[int, int], Tuple[int, int]] = {}
     for i, c in enumerate(order_cls[:-1]):
         tgt = order_cls[i + 1]
+        if tgt[1] != c[1]:
+            continue
         # never merge across the static/dynamic kernel boundary: pulling a
         # statically-unrolled class into a dynamic-round stream would
         # serialize its (much larger) vreg mass
-        if (c <= P_CLASSES[-1]) != (tgt <= P_CLASSES[-1]):
+        if (c[0] <= P_CLASSES[-1]) != (tgt[0] <= P_CLASSES[-1]):
             continue
         if cls_vregs[c] < max(256, 0.08 * total_v):
             merged[c] = tgt
@@ -824,22 +1091,27 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 c = merged[c]
             return c
         for p in packets:
-            p.cls = resolve(p.cls)
+            p.cls = resolve((p.cls, p.stride))[0]
 
-    cls_list = sorted({p.cls for p in packets})
+    key_list = sorted({(p.cls, p.stride) for p in packets})
     streams: List[WStream] = []
     sell_segments: List[SellSegment] = []
     long_groups: List[LongGroup] = []
-    stream_idx: Dict[int, int] = {}
-    y2_row_of_block = np.full(B, -1, dtype=np.int64)   # primary slice row
+    stream_idx: Dict[Tuple[int, int], int] = {}
+    y2_row_of_slice = np.full(max(len(slices), 1) if n else 1, -1,
+                              dtype=np.int64)
+    y2_row_of_shortslice = [np.full(max(ns, 1), -1, dtype=np.int64)
+                            for ns in n_short_slices]
     y2_row_of_remslice = [np.full(max(ns, 1), -1, dtype=np.int64)
                           for ns in n_rem_slices]
     out_row = 0
 
-    for cls in cls_list:
-        stream_idx[cls] = len(streams)
-        mine = [p for p in packets if p.cls == cls]
-        kind_rank = {"sell": 0, "rem2": 1, "rem3": 2, "long": 3}
+    for key in key_list:
+        cls, stride = key
+        stream_idx[key] = len(streams)
+        mine = [p for p in packets if (p.cls, p.stride) == key]
+        kind_rank = {"sell": 0, "short0": 1, "short1": 2,
+                     "rem2": 3, "rem3": 4, "long": 5}
         mine.sort(key=lambda p: (kind_rank[p.kind], p.w8, p.block))
         vals_parts, idx_parts, win_parts = [], [], []
         vreg_cursor = 0
@@ -851,20 +1123,25 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 j += 1
             run = mine[i:j]
             sell_segments.append(SellSegment(
-                stream=stream_idx[cls], vreg_offset=vreg_cursor,
-                n_slices=len(run), w8=run[0].w8, out_row=out_row))
+                stream=stream_idx[key], vreg_offset=vreg_cursor,
+                n_slices=len(run), w8=run[0].w8, out_row=out_row,
+                stride=stride))
             for p in run:
                 for vt, it, wl in p.tiles:
                     vals_parts.append(vt)
                     idx_parts.append(it)
                     win_parts.append(wl)
                 if p.kind == "sell":
-                    y2_row_of_block[p.block] = out_row
+                    y2_row_of_slice[p.block] = out_row
+                elif p.kind == "short0":
+                    y2_row_of_shortslice[0][p.block] = out_row
+                elif p.kind == "short1":
+                    y2_row_of_shortslice[1][p.block] = out_row
                 elif p.kind == "rem2":
                     y2_row_of_remslice[0][p.block] = out_row
                 else:
                     y2_row_of_remslice[1][p.block] = out_row
-                out_row += 1
+                out_row += SUB // p.stride
                 vreg_cursor += p.w8
             i = j
         long_here = [p for p in mine if p.kind == "long"]
@@ -887,7 +1164,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 idxm[k, :p.w8] = np.arange(st, st + p.w8)
                 spos[k] = scalar_pos_of_row[p.block]
             long_groups.append(LongGroup(
-                stream=stream_idx[cls], idx=idxm.astype(np.int32),
+                stream=stream_idx[key], idx=idxm.astype(np.int32),
                 scalar_pos=spos))
 
         nv = len(win_parts)
@@ -901,7 +1178,8 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             wins[k, :wl.size] = wl
             counts[k] = wl.size
         streams.append(WStream(P=cls, vals=vals, idx=idx,
-                               wins=wins, win_counts=counts))
+                               wins=wins, win_counts=counts,
+                               stride=stride))
 
     # long scalar rows appended to y2 after the slice rows
     n_long = len(scalar_owners)
@@ -911,6 +1189,13 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     Z = n_y2_rows                                   # the all-zero row
 
     # ---- output-gather tables -------------------------------------------
+    # block b's primary y2 row = its slice's first row + its level within
+    # the (possibly strided, multi-block) slice
+    y2_row_of_block = np.full(B, Z, dtype=np.int64)
+    for b in range(B):
+        sid = slice_of_block[b]
+        if sid >= 0 and y2_row_of_slice[sid] >= 0:
+            y2_row_of_block[b] = y2_row_of_slice[sid] + level_of_block[b]
     out_src = np.full((B, K_SOURCES), Z, dtype=np.int64)
     out_perm = np.zeros((B, K_SOURCES, LANES), dtype=np.int64)
     for b in range(B):
@@ -926,16 +1211,27 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             # no pad lane but non-sell rows exist: impossible (non-sell
             # rows create pads); guard anyway
             out_src[b, 0] = Z if nlanes == 0 else out_src[b, 0]
-        # k=1,2: re-routed tails/conflict slices (shared; lane 127 is
+        # k=1,2: short-row bucket slices (strided, shared; lane 127 is
+        # the reserved zero pad)
+        for bi in range(len(SHORT_BUCKETS)):
+            sid = short_slice_of_block[bi][b]
+            if sid >= 0 and y2_row_of_shortslice[bi][sid] >= 0:
+                out_src[b, 1 + bi] = (y2_row_of_shortslice[bi][sid]
+                                      + short_level_of_block[bi][b])
+                lanes_s = np.where(short_bucket_of_row[rows] == bi,
+                                   short_lane_of_row[rows], -1)
+                out_perm[b, 1 + bi, :nlanes] = np.where(
+                    lanes_s >= 0, lanes_s, LANES - 1)
+        # k=3,4: re-routed tails/conflict slices (shared; lane 127 is
         # the reserved zero pad)
         for level in range(2):
             sid = rem_slice_of_block[level][b]
             if sid >= 0:
-                out_src[b, 1 + level] = y2_row_of_remslice[level][sid]
+                out_src[b, 3 + level] = y2_row_of_remslice[level][sid]
                 lanes2 = rem_lane_of_row[level][rows]
-                out_perm[b, 1 + level, :nlanes] = np.where(
+                out_perm[b, 3 + level, :nlanes] = np.where(
                     lanes2 >= 0, lanes2, LANES - 1)
-        # k=3,4: long/fragment scalars (contiguous in row order per block)
+        # k=5,6: long/fragment scalars (contiguous in row order per block)
         lmask = np.array([int(r) in scalar_pos_of_row for r in rows])
         if lmask.any():
             lrows = rows[lmask]
@@ -947,7 +1243,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 raise AssertionError(
                     "long rows of one block span >2 scalar rows")
             for kk, sr in enumerate(uniq):
-                k = 3 + kk
+                k = 5 + kk
                 out_src[b, k] = sr
                 sel = src_rows == sr
                 out_perm[b, k, :] = LANES - 1          # zero lane
@@ -1018,43 +1314,45 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
     # ordinal among same-w8 segments (kinds produce at most 3 runs per w8).
     def seg_keys(plan):
         keys = []
-        per_stream_count: Dict[Tuple[int, int, int], int] = {}
+        per_stream_count: Dict[Tuple[int, int], int] = {}
         for seg in plan.sell:
-            P = plan.streams[seg.stream].P
-            k = per_stream_count.get((seg.stream, seg.w8, 0), 0)
-            per_stream_count[(seg.stream, seg.w8, 0)] = k + 1
-            keys.append((P, seg.w8, k))
+            s = plan.streams[seg.stream]
+            k = per_stream_count.get((seg.stream, seg.w8), 0)
+            per_stream_count[(seg.stream, seg.w8)] = k + 1
+            keys.append((s.P, s.stride, seg.w8, k))
         return keys
 
-    all_P = sorted({s.P for p in plans for s in p.streams})
-    seg_sig: Dict[Tuple[int, int, int], int] = {}     # key -> max n_slices
+    all_keys = sorted({(s.P, s.stride) for p in plans for s in p.streams})
+    seg_sig: Dict[Tuple[int, int, int, int], int] = {}  # key -> max slices
     for p in plans:
         for seg, key in zip(p.sell, seg_keys(p)):
             seg_sig[key] = max(seg_sig.get(key, 0), seg.n_slices)
-    long_sig: Dict[Tuple[int, int], int] = {}         # (P, nv_c) -> max R
-    long_tail: Dict[int, int] = {c: 0 for c in all_P}  # P -> max tail vregs
+    long_sig: Dict[Tuple, int] = {}          # ((P, stride), nv_c) -> max R
+    long_tail: Dict[Tuple[int, int], int] = {c: 0 for c in all_keys}
     for p in plans:
         for lg in p.longs:
-            P = p.streams[lg.stream].P
-            key = (P, lg.idx.shape[1])
+            s = p.streams[lg.stream]
+            key = ((s.P, s.stride), lg.idx.shape[1])
             long_sig[key] = max(long_sig.get(key, 0), lg.idx.shape[0])
         # tail vregs per stream = NV - sum of sell segment vregs
         for si, s in enumerate(p.streams):
             sell_v = sum(seg.n_slices * seg.w8 for seg in p.sell
                          if seg.stream == si)
-            long_tail[s.P] = max(long_tail[s.P], s.n_vregs - sell_v)
+            long_tail[(s.P, s.stride)] = max(
+                long_tail[(s.P, s.stride)], s.n_vregs - sell_v)
 
     B_max = max(p.out_src.shape[0] for p in plans)
     n_long_canon = sum(long_sig.values())
     n_rows_max = max(p.n_rows for p in plans)
 
-    canon_keys = sorted(seg_sig)     # (P, w8, ordinal) ascending
+    canon_keys = sorted(seg_sig)     # (P, stride, w8, ordinal) ascending
 
     out_plans: List[WPlan] = []
     for p in plans:
         keys = seg_keys(p)
         by_key = {k: seg for seg, k in zip(p.sell, keys)}
-        stream_of_P = {s.P: i for i, s in enumerate(p.streams)}
+        stream_of_key = {(s.P, s.stride): i
+                         for i, s in enumerate(p.streams)}
 
         new_streams: List[WStream] = []
         new_sell: List[SellSegment] = []
@@ -1062,17 +1360,16 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
         # maps for fixing out_src and long idx
         y2_map: Dict[int, int] = {}
         new_out_row = 0
-        scalar_budget_used = 0
 
-        for P in all_P:
+        for skey in all_keys:
+            P, stride = skey
+            rps = SUB // stride              # y2 rows per slice
             vals_parts, idx_parts, wins_parts, cnt_parts = [], [], [], []
             vreg_cursor = 0
-            vreg_map_shift: Dict[int, int] = {}   # not needed per-seg; longs only
-            si = stream_of_P.get(P)
+            si = stream_of_key.get(skey)
             s = p.streams[si] if si is not None else None
-            max_p = P
-            for key in [k for k in canon_keys if k[0] == P]:
-                _, w8, _ = key
+            for key in [k for k in canon_keys if k[:2] == skey]:
+                _, _, w8, _ = key
                 n_max = seg_sig[key]
                 seg = by_key.get(key)
                 have = seg.n_slices if seg is not None else 0
@@ -1086,7 +1383,7 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
                     cnt_parts.append(s.win_counts[seg.vreg_offset:
                                                   seg.vreg_offset
                                                   + have * w8])
-                    for k2 in range(have):
+                    for k2 in range(have * rps):
                         y2_map[seg.out_row + k2] = new_out_row + k2
                 pad = (n_max - have) * w8
                 if pad:
@@ -1099,8 +1396,9 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
                     cnt_parts.append(np.ones(pad, dtype=np.int32))
                 new_sell.append(SellSegment(
                     stream=len(new_streams), vreg_offset=vreg_cursor,
-                    n_slices=n_max, w8=w8, out_row=new_out_row))
-                new_out_row += n_max
+                    n_slices=n_max, w8=w8, out_row=new_out_row,
+                    stride=stride))
+                new_out_row += n_max * rps
                 vreg_cursor += n_max * w8
 
             # long tail for this P-class
@@ -1114,7 +1412,7 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
                 idx_parts.append(s.idx[lo:])
                 wins_parts.append(s.wins[sell_v:])
                 cnt_parts.append(s.win_counts[sell_v:])
-            pad_tail = long_tail[P] - tail_v
+            pad_tail = long_tail[skey] - tail_v
             if pad_tail:
                 vals_parts.append(np.zeros((pad_tail * SUB, LANES)))
                 idx_parts.append(np.zeros((pad_tail * SUB, LANES),
@@ -1123,13 +1421,14 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
                                             if s is not None else P),
                                            dtype=np.int32))
                 cnt_parts.append(np.ones(pad_tail, dtype=np.int32))
-            nv_new = vreg_cursor + long_tail[P]
+            nv_new = vreg_cursor + long_tail[skey]
             if nv_new == 0:
                 new_streams.append(WStream(
                     P=P, vals=np.zeros((0, LANES)),
                     idx=np.zeros((0, LANES), dtype=np.int32),
                     wins=np.zeros((0, P), dtype=np.int32),
-                    win_counts=np.zeros(0, dtype=np.int32)))
+                    win_counts=np.zeros(0, dtype=np.int32),
+                    stride=stride))
                 continue
             wins_cat = np.concatenate([
                 w if w.shape[1] == P else
@@ -1140,7 +1439,8 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
                 vals=np.concatenate(vals_parts),
                 idx=np.concatenate(idx_parts).astype(np.int32),
                 wins=wins_cat.astype(np.int32),
-                win_counts=np.concatenate(cnt_parts).astype(np.int32)))
+                win_counts=np.concatenate(cnt_parts).astype(np.int32),
+                stride=stride))
             # remap long idx matrices of this stream
             if si is not None:
                 nv_old = p.streams[si].n_vregs
@@ -1155,12 +1455,12 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
                         idx=idx.astype(np.int32),
                         scalar_pos=lg.scalar_pos.copy()))
 
-        # pad long groups to the canonical (P, nv_c) signature
+        # pad long groups to the canonical ((P, stride), nv_c) signature
         final_longs: List[LongGroup] = []
         scalar_pad_cursor = p.n_long
-        for (P, nv_c) in sorted(long_sig):
-            R_max = long_sig[(P, nv_c)]
-            stream_id = all_P.index(P)
+        for (skey, nv_c) in sorted(long_sig):
+            R_max = long_sig[(skey, nv_c)]
+            stream_id = all_keys.index(skey)
             nv_new = new_streams[stream_id].n_vregs
             match = [lg for lg in new_longs
                      if lg.stream == stream_id and lg.idx.shape[1] == nv_c]
@@ -1227,9 +1527,9 @@ def save_wplan(plan: WPlan, path) -> None:
         s_rows=plan.s_rows, n_long=plan.n_long, n_y2_rows=plan.n_y2_rows,
         config=dataclasses.asdict(plan.config),
         census=plan.census, stats=plan.stats,
-        streams=[s.P for s in plan.streams],
-        sell=[(g.stream, g.vreg_offset, g.n_slices, g.w8, g.out_row)
-              for g in plan.sell],
+        streams=[(s.P, s.stride) for s in plan.streams],
+        sell=[(g.stream, g.vreg_offset, g.n_slices, g.w8, g.out_row,
+               g.stride) for g in plan.sell],
         longs=[lg.stream for lg in plan.longs],
         has_overflow=plan.overflow is not None)
     for i, s in enumerate(plan.streams):
@@ -1255,8 +1555,9 @@ def load_wplan(path) -> WPlan:
     z = np.load(path)
     meta = json.loads(bytes(z["__meta__"]).decode())
     streams = [WStream(P=p, vals=z[f"s{i}_vals"], idx=z[f"s{i}_idx"],
-                       wins=z[f"s{i}_wins"], win_counts=z[f"s{i}_cnt"])
-               for i, p in enumerate(meta["streams"])]
+                       wins=z[f"s{i}_wins"], win_counts=z[f"s{i}_cnt"],
+                       stride=st)
+               for i, (p, st) in enumerate(meta["streams"])]
     sell = [SellSegment(*t) for t in meta["sell"]]
     longs = [LongGroup(stream=s, idx=z[f"l{i}_idx"],
                        scalar_pos=z[f"l{i}_pos"])

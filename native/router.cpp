@@ -34,8 +34,13 @@ struct Scratch {
   std::vector<int64_t> counts;
 };
 
+// stride: sublane attempts stay within the element's stride-group
+// [ipref/stride*stride, ...+stride) so a strided slice's levels (8/stride
+// rows sharing one lane column) never mix rows across the level boundary
+// that the kernel's per-level sublane sum separates.  stride=8 is the
+// classic full-vreg behavior.
 void RouteOne(const int32_t* lane, const int32_t* ipref, const int64_t* col,
-              const double* val, int64_t n, int32_t p_cap,
+              const double* val, int64_t n, int32_t p_cap, int32_t stride,
               double* vals_tile, int32_t* idx_tile, int32_t* win_out,
               int32_t* win_count, uint8_t* overflow, Scratch* s) {
   memset(vals_tile, 0, sizeof(double) * kVreg);
@@ -89,8 +94,9 @@ void RouteOne(const int32_t* lane, const int32_t* ipref, const int64_t* col,
     const int64_t src_row = col[e] / kLanes;
     const int32_t ln = lane[e];
     bool placed = false;
-    for (int t = 0; t < kSub; ++t) {
-      const int i = (ipref[e] + t) % kSub;
+    const int base = (ipref[e] / stride) * stride;
+    for (int t = 0; t < stride; ++t) {
+      const int i = base + (ipref[e] - base + t) % stride;
       if (s->lane_used[i][ln]) continue;
       const int64_t owner = s->cell_owner[i][lam];
       if (owner != -1 && owner != src_row) continue;
@@ -113,11 +119,13 @@ void RouteOne(const int32_t* lane, const int32_t* ipref, const int64_t* col,
 extern "C" {
 
 // Route a batch of vregs.  offsets has n_vregs+1 entries delimiting each
-// vreg's elements in (lane, ipref, col, val).  Outputs are per-vreg tiles
-// and window lists (win stride = p_cap).
+// vreg's elements in (lane, ipref, col, val).  strides (may be NULL = all
+// 8) gives each vreg's sublane stride.  Outputs are per-vreg tiles and
+// window lists (win stride = p_cap).
 void dasp_route_vregs(int64_t n_vregs, const int64_t* offsets,
                       const int32_t* lane, const int32_t* ipref,
                       const int64_t* col, const double* val, int32_t p_cap,
+                      const int32_t* strides,
                       double* vals_tiles, int32_t* idx_tiles,
                       int32_t* wins, int32_t* win_counts,
                       uint8_t* overflow) {
@@ -132,6 +140,7 @@ void dasp_route_vregs(int64_t n_vregs, const int64_t* offsets,
     for (int64_t v = 0; v < n_vregs; ++v) {
       const int64_t lo = offsets[v], hi = offsets[v + 1];
       RouteOne(lane + lo, ipref + lo, col + lo, val + lo, hi - lo, p_cap,
+               strides ? strides[v] : kSub,
                vals_tiles + v * kVreg, idx_tiles + v * kVreg,
                wins + v * p_cap, win_counts + v, overflow + lo, &s);
     }

@@ -18,9 +18,12 @@ def _emulate(plan, x):
     x2d = xpad.reshape(plan.s_rows, LANES)
 
     partials = []
+    vreg_totals_all = []
     for s in plan.streams:
         nv = s.n_vregs
-        part = np.zeros((nv, LANES))
+        R = SUB // s.stride
+        part = np.zeros((nv * R, LANES))
+        tot = np.zeros(nv)
         for v in range(nv):
             idx = s.idx[v * SUB:(v + 1) * SUB]
             vals = s.vals[v * SUB:(v + 1) * SUB]
@@ -34,18 +37,26 @@ def _emulate(plan, x):
                 g1 = xw[q, np.arange(LANES)[None, :]]
                 gp = g1[np.arange(SUB)[:, None], lam]
                 g = np.where(rnd == p, gp, g)
-            part[v] = (vals * g).sum(0)
+            prod = vals * g
+            for L in range(R):
+                part[v * R + L] = prod[L * s.stride:(L + 1) * s.stride
+                                       ].sum(0)
+            tot[v] = prod.sum()
         partials.append(part)
+        vreg_totals_all.append(tot)
 
     y2_parts = []
     for seg in plan.sell:
-        p = partials[seg.stream][seg.vreg_offset:
-                                 seg.vreg_offset + seg.n_slices * seg.w8]
-        y2_parts.append(p.reshape(seg.n_slices, seg.w8, LANES).sum(1))
+        R = SUB // seg.stride
+        p = partials[seg.stream][seg.vreg_offset * R:
+                                 (seg.vreg_offset
+                                  + seg.n_slices * seg.w8) * R]
+        y2_parts.append(p.reshape(seg.n_slices, seg.w8, R, LANES).sum(1)
+                        .reshape(seg.n_slices * R, LANES))
     if plan.n_long:
         souts, spos = [], []
         for lg in plan.longs:
-            totals = np.concatenate([partials[lg.stream].sum(1), [0.0]])
+            totals = np.concatenate([vreg_totals_all[lg.stream], [0.0]])
             idx = np.minimum(lg.idx, totals.size - 1)
             souts.append(totals[idx].sum(1))
             spos.append(lg.scalar_pos)
