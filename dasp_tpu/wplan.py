@@ -185,6 +185,30 @@ def _native_router():
     return _NATIVE_ROUTER
 
 
+def _route_concat(offsets, lane, ipref, col, val, p_cap: int,
+                  strides=None):
+    """Route vregs given CONCATENATED element arrays (vreg v owns elements
+    [offsets[v], offsets[v+1])).  Returns a list of (vals_tile, idx_tile,
+    win_list, overflow_mask) per vreg.  The fast path for bulk callers —
+    no per-vreg array slicing or re-concatenation."""
+    nat = _native_router()
+    nv = offsets.size - 1
+    if nat:
+        vt, it, wins, wc, ovf = nat.route_vregs(
+            offsets, lane, ipref, col, val, p_cap,
+            np.asarray(strides, dtype=np.int32)
+            if strides is not None else None)
+        return [(vt[v], it[v], wins[v, :wc[v]],
+                 ovf[offsets[v]:offsets[v + 1]])
+                for v in range(nv)]
+    return [_route_vreg(lane[offsets[v]:offsets[v + 1]],
+                        ipref[offsets[v]:offsets[v + 1]],
+                        col[offsets[v]:offsets[v + 1]],
+                        val[offsets[v]:offsets[v + 1]], p_cap,
+                        stride=SUB if strides is None else strides[v])
+            for v in range(nv)]
+
+
 def _route_vregs_batch(parts, p_cap: int, strides=None):
     """Route a batch of vregs: ``parts`` is a list of (lane, ipref, col,
     val) tuples, one per vreg.  Returns a list of (vals_tile, idx_tile,
@@ -200,13 +224,8 @@ def _route_vregs_batch(parts, p_cap: int, strides=None):
         ipref = np.concatenate([p[1] for p in parts])
         col = np.concatenate([p[2] for p in parts])
         val = np.concatenate([p[3] for p in parts])
-        vt, it, wins, wc, ovf = nat.route_vregs(
-            offsets, lane, ipref, col, val, p_cap,
-            np.asarray(strides, dtype=np.int32)
-            if strides is not None else None)
-        return [(vt[v], it[v], wins[v, :wc[v]],
-                 ovf[offsets[v]:offsets[v + 1]])
-                for v in range(len(parts))]
+        return _route_concat(offsets, lane, ipref, col, val, p_cap,
+                             strides)
     if strides is None:
         return [_route_vreg(*p, p_cap) for p in parts]
     return [_route_vreg(*p, p_cap, stride=s)
@@ -793,18 +812,15 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 slen = np.minimum(cnts, cap)
                 c = np.maximum(1, -(-slen // w8))
                 tiles, p_used, n_ovf, ovfs = [], 1, 0, []
+                parts_v, in_vs = [], []
                 for v in range(w8):
                     lo = c[lanes_e] * v
                     in_v = keepm & (local >= lo) & (local < lo + c[lanes_e])
-                    if not in_v.any():
-                        tiles.append((np.zeros((SUB, LANES)),
-                                      np.zeros((SUB, LANES),
-                                               dtype=np.int64),
-                                      np.empty(0, dtype=np.int64)))
-                        continue
-                    vt, it, wl, om = _route_vreg(
-                        lanes_e[in_v], local[in_v] - lo[in_v],
-                        ec[in_v], ev[in_v], p_cap)
+                    in_vs.append(in_v)
+                    parts_v.append((lanes_e[in_v], local[in_v] - lo[in_v],
+                                    ec[in_v], ev[in_v]))
+                routed_v = _route_vregs_batch(parts_v, p_cap)
+                for in_v, (vt, it, wl, om) in zip(in_vs, routed_v):
                     if om.any():
                         sel_v = np.flatnonzero(in_v)[om]
                         n_ovf += sel_v.size
@@ -929,8 +945,10 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # the fallback when padding would exceed DYN_PAD_MAX.
     LONG_WIN_CAP = P_CLASSES[-1]
     DYN_PAD_MAX = 4
-    long_parts = []
-    long_spans = []            # (row, n_vregs)
+    row_cols: List[np.ndarray] = []   # per ROW, in vreg-emission order
+    row_vals: List[np.ndarray] = []
+    vreg_sizes: List[int] = []        # per vreg
+    owners: List[int] = []            # per vreg
     for row in scalar_owners:
         if is_long[row]:
             base, ln = int(rpt[row]), int(lens[row])
@@ -944,32 +962,24 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         nv_base = -(-ln // VREG)
         w_of = colv // VREG
         # sequential dealing is optimal when each 1024-chunk already fits
-        # the static window budget (dense sorted regions)
-        chunk_w = [np.unique(w_of[v * VREG:(v + 1) * VREG]).size
-                   for v in range(nv_base)]
-        if max(chunk_w, default=0) <= LONG_WIN_CAP:
-            t = np.arange(ln)
-            g, lane = t // LANES, t % LANES
+        # the static window budget (dense sorted regions); the scattered
+        # fallback deals sequentially too (dynamic round classes absorb
+        # the window counts up to LONG_P_CAP)
+        chunk_w = max((np.unique(w_of[v * VREG:(v + 1) * VREG]).size
+                       for v in range(nv_base)), default=0)
+        sequential = chunk_w <= LONG_WIN_CAP
+        if not sequential:
+            starts = np.r_[0, np.flatnonzero(np.diff(w_of)) + 1]
+            sizes = np.diff(np.r_[starts, ln])
+            n_win = starts.size
+            nv_need = max(nv_base, -(-n_win // LONG_WIN_CAP))
+            sequential = nv_need > DYN_PAD_MAX * nv_base
+        if sequential:
+            row_cols.append(colv)
+            row_vals.append(valv)
             for v in range(nv_base):
-                sel = slice(v * VREG, min((v + 1) * VREG, ln))
-                long_parts.append((lane[sel], g[sel] % SUB, colv[sel],
-                                   valv[sel]))
-            long_spans.append((int(row), nv_base))
-            continue
-        starts = np.r_[0, np.flatnonzero(np.diff(w_of)) + 1]
-        sizes = np.diff(np.r_[starts, ln])
-        n_win = starts.size
-        nv_need = max(nv_base, -(-n_win // LONG_WIN_CAP))
-        if nv_need > DYN_PAD_MAX * nv_base:
-            # too scattered for static padding: sequential deal, dynamic
-            # round classes absorb the window counts (up to LONG_P_CAP)
-            t = np.arange(ln)
-            g, lane = t // LANES, t % LANES
-            for v in range(nv_base):
-                sel = slice(v * VREG, min((v + 1) * VREG, ln))
-                long_parts.append((lane[sel], g[sel] % SUB, colv[sel],
-                                   valv[sel]))
-            long_spans.append((int(row), nv_base))
+                vreg_sizes.append(min(VREG, ln - v * VREG))
+                owners.append(int(row))
             continue
         # first-fit-decreasing bin-packing of window groups; groups larger
         # than a vreg are pre-chunked (a chunk fills a whole vreg)
@@ -989,30 +999,38 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                     break
             else:
                 bins.append([idxs.size, 1, [idxs]])
+        sel = np.concatenate([i for b in bins for i in b[2]])
+        row_cols.append(colv[sel])
+        row_vals.append(valv[sel])
         for b in bins:
-            sel = np.concatenate(b[2])
-            k = np.arange(sel.size)
-            long_parts.append((k % LANES, (k // LANES) % SUB, colv[sel],
-                               valv[sel]))
-        long_spans.append((int(row), len(bins)))
-    # Route, retrying routing-cell rejects in FRESH vregs of the same row
-    # (a long row's slots are position-free: the output is the total sum,
-    # so rejected elements just cost an extra sparsely-filled vreg instead
-    # of falling to the COO fallback, whose XLA element-gather runs at
+            vreg_sizes.append(b[0])
+            owners.append(int(row))
+    # Route in ONE native call over the concatenated element arrays,
+    # retrying routing-cell rejects in FRESH vregs of the same row (a long
+    # row's slots are position-free: the output is the total sum, so
+    # rejected elements just cost an extra sparsely-filled vreg instead of
+    # falling to the COO fallback, whose XLA element-gather runs at
     # ~0.05 Gelem/s).  Depth 3 leaves only conflict-of-conflict dregs.
-    owners = [row for row, nv in long_spans for _ in range(nv)]
-    row_tiles: Dict[int, List] = {row: [] for row, _ in long_spans}
-    parts = long_parts
+    row_tiles: Dict[int, List] = {int(row): [] for row in scalar_owners}
+    col_cat = (np.concatenate(row_cols) if row_cols
+               else np.zeros(0, dtype=np.int64))
+    val_cat = np.concatenate(row_vals) if row_vals else np.zeros(0)
+    sizes_a = np.asarray(vreg_sizes, dtype=np.int64)
     for depth in range(3):
-        routed = _route_vregs_batch(parts, LONG_P_CAP)
+        offsets = np.zeros(sizes_a.size + 1, dtype=np.int64)
+        np.cumsum(sizes_a, out=offsets[1:])
+        t = np.arange(int(offsets[-1])) - np.repeat(offsets[:-1], sizes_a)
+        lane_cat = t % LANES
+        ipref_cat = (t // LANES) % SUB
+        routed = _route_concat(offsets, lane_cat, ipref_cat, col_cat,
+                               val_cat, LONG_P_CAP)
         rej: Dict[int, Tuple[List, List]] = {}
-        for (lanes_v, _, colv, valv), (vt, it, wl, om), row in zip(
-                parts, routed, owners):
+        for v, ((vt, it, wl, om), row) in enumerate(zip(routed, owners)):
             row_tiles[row].append((vt, it, wl))
             if om.any():
                 cs, vs = rej.setdefault(row, ([], []))
-                cs.append(colv[om])
-                vs.append(valv[om])
+                cs.append(col_cat[offsets[v]:offsets[v + 1]][om])
+                vs.append(val_cat[offsets[v]:offsets[v + 1]][om])
         if not rej:
             break
         if depth == 2:
@@ -1022,12 +1040,14 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 ovf_c.append(cc)
                 ovf_v.append(np.concatenate(vs))
             break
-        parts, owners = [], []
+        nxt_c, nxt_v, nxt_sizes, nxt_owner = [], [], [], []
         for row, (cs, vs) in rej.items():
             colv = np.concatenate(cs)
             valv = np.concatenate(vs)
             o = np.argsort(colv, kind="stable")
             colv, valv = colv[o], valv[o]
+            nxt_c.append(colv)
+            nxt_v.append(valv)
             w_of = colv // VREG
             # sequential chunking: new vreg at 32 windows or 1024 slots
             new_w = np.r_[True, np.diff(w_of) != 0]
@@ -1038,12 +1058,14 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 hi = int(np.searchsorted(
                     wcount, base_w + LONG_WIN_CAP, side="right"))
                 hi = min(hi, lo + VREG, colv.size)
-                k = np.arange(hi - lo)
-                parts.append((k % LANES, (k // LANES) % SUB,
-                              colv[lo:hi], valv[lo:hi]))
-                owners.append(row)
+                nxt_sizes.append(hi - lo)
+                nxt_owner.append(row)
                 lo = hi
-    for row, _ in long_spans:
+        col_cat = np.concatenate(nxt_c)
+        val_cat = np.concatenate(nxt_v)
+        sizes_a = np.asarray(nxt_sizes, dtype=np.int64)
+        owners = nxt_owner
+    for row in scalar_owners:
         # Class each vreg by ITS OWN window count: a long row's column-sorted
         # head has 1-2 windows while its scattered tail can use 32 — one
         # packet per round-class keeps the dense head out of the expensive
