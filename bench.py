@@ -44,6 +44,9 @@ def main() -> int:
     from dasp_tpu import SpMVOperator, load_matrix
     from dasp_tpu.bench import (BCOOBaseline, append_record, bench_spmv,
                                 build_suite, geomean, record_from)
+    from dasp_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)
     warmup = args.warmup if args.warmup is not None else (10 if args.quick

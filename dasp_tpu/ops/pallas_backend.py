@@ -35,6 +35,8 @@ UNROLL = 32      # vregs per inner unrolled group (tile sweep on v5e:
                  # 32/128 gives 68 GF on cop20k vs 48 GF at 8/64)
 UNROLL_INTERPRET = 8   # smaller unrolled bodies keep interpret-mode
                        # tracing (CPU tests) fast
+BV_INTERPRET = 8       # small grid blocks avoid padding tiny test streams
+                       # to 128 vregs (interpret execution is per-op slow)
 OB = 64          # output blocks per outgather grid step
 
 
@@ -62,6 +64,7 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool,
     lane (short-row packing, the TPU shape of the reference's
     short1/22/34 strategies, ``dasp_f64.h:283-483``)."""
     UNROLL = UNROLL_INTERPRET if interpret else globals()["UNROLL"]
+    BV = BV_INTERPRET if interpret else globals()["BV"]
     R = SUB // stride
 
     def kernel(win_ref, vals_ref, idx_ref, x_ref, out_ref):
@@ -244,6 +247,7 @@ def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool,
     ``main_f64.cu`` / ``dasp_f64.h``; see ops/dd.py).  ``stride`` as in
     _make_colsum: per-level sublane sums for strided (short-row) slices."""
     UNROLL = UNROLL_INTERPRET if interpret else globals()["UNROLL"]
+    BV = BV_INTERPRET if interpret else globals()["BV"]
     R = SUB // stride
     from . import dd
 
@@ -451,9 +455,10 @@ def plan_to_arrays(plan, dtype: str = "f32",
 
     arrays: Dict = {"streams": [], "long_idx": []}
     stream_shapes = []
+    interp = not _on_tpu()
     for s in plan.streams:
         nv = s.n_vregs
-        blk = BV if s.P <= 32 else BV_DYN
+        blk = (BV_INTERPRET if interp else BV) if s.P <= 32 else BV_DYN
         nv_pad = -(-max(nv, 1) // blk) * blk
         if s.P <= 32:
             # round<<10|q<<7|lam with <=32 rounds fits int16: 25% less

@@ -18,6 +18,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from dasp_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
 import numpy as np
 import pytest
 
