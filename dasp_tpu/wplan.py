@@ -75,15 +75,20 @@ P_CLASSES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
 DYN_CLASSES = (64, 128, 256, 512)
 LONG_P_CAP = 512
 # output-gather sources per block:
-# [0] primary slice, [1] short {1,2}-nnz slice (stride 2), [2] short
-# {3,4}-nnz slice (stride 4), [3]/[4] re-routed tails/conflicts (two
-# shared levels), [5]/[6] long-scalar rows.  The short sources carry the
-# reference's short-row strategies (``dasp_f64.h:595-713``) as strided
-# shared slices: 8/stride row levels per lane so 1-4 nnz rows fill the
-# vreg instead of leaving 7/8 sublanes as padding.
+# [0] primary slice, [1..4] length-bucketed shared slices, [5]/[6]
+# re-routed tails/conflicts (two shared rem levels) and long-scalar rows,
+# allocated dynamically per block (a block rarely uses more than a few).
+# The short buckets carry the reference's short-row strategies
+# (``dasp_f64.h:595-713``) as strided shared slices: 8/stride row levels
+# per lane so 1-4 nnz rows fill the vreg instead of leaving 7/8 sublanes
+# as padding; the medium buckets catch 5-16 nnz rows of blocks whose own
+# SELL slice would be mostly padding.
 K_SOURCES = 7
 SHORT_MAX = 4
-SHORT_BUCKETS = ((2, 2), (4, 4))   # (max_len, stride) per short source
+# (max_len, stride, w8); the first two apply to ALL rows <= 4 nnz, the
+# last two only to rows of blocks that dumped their primary slice
+SHORT_BUCKETS = ((2, 2, 1), (4, 4, 1))
+MED_BUCKETS = ((8, SUB, 1), (16, SUB, 2))
 
 
 @dataclasses.dataclass
@@ -443,19 +448,25 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 w8_choice = np.where(upd, w8_s, w8_choice)
 
         # blocks whose best own slice would still be mostly padding dump
-        # their few medium rows into the SHARED rem slices (127 rows from a
-        # block neighborhood) instead of paying a nearly-empty private one
+        # their few medium rows: 5-16 nnz go to the length-bucketed MED
+        # shared slices, longer ones to the rem pool — instead of paying a
+        # nearly-empty private slice
         dump = (LANES * s_choice * w8_choice > 3 * nnz_sell_b)
+        is_med_bucket = np.zeros(n, dtype=bool)
         if dump.any():
             drows = np.flatnonzero(sellable & dump[blk])
             if drows.size:
-                dl = lens[drows]
-                eidx = np.repeat(rpt[drows], dl) + (
-                    np.arange(int(dl.sum())) - np.repeat(
-                        np.concatenate([[0], np.cumsum(dl)[:-1]]), dl))
-                ovf_r.append(np.repeat(drows, dl))
-                ovf_c.append(cols_all[eidx])
-                ovf_v.append(vals_all[eidx])
+                med = lens[drows] <= MED_BUCKETS[-1][0]
+                is_med_bucket[drows[med]] = True
+                rrows = drows[~med]
+                if rrows.size:
+                    dl = lens[rrows]
+                    eidx = np.repeat(rpt[rrows], dl) + (
+                        np.arange(int(dl.sum())) - np.repeat(
+                            np.concatenate([[0], np.cumsum(dl)[:-1]]), dl))
+                    ovf_r.append(np.repeat(rrows, dl))
+                    ovf_c.append(cols_all[eidx])
+                    ovf_v.append(vals_all[eidx])
                 block_lane_of_row[drows] = -1
                 sellable[drows] = False
 
@@ -638,40 +649,45 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             packets.append(_Packet("sell", w8, _p_class(p_used, p_cap),
                                    tiles, sid, stride=s))
 
-    # ---- short-row family: strided shared slices ------------------------
-    # Rows with 1..SHORT_MAX nnz pack into dedicated shared slices of
-    # stride 2 ({1,2}-nnz) and stride 4 ({3,4}-nnz): 8/stride row LEVELS
-    # share each lane column, the kernel emits per-level sums, and each
-    # block's bucket rows sit block-atomically in one level so one
-    # outgather source per bucket suffices (k=1,2).  This is the TPU
-    # shape of the reference's short1/22/34 strategies
-    # (``dasp_f64.h:595-713``); conflict rejects spill to the rem levels.
+    # ---- length-bucketed shared slices ----------------------------------
+    # Rows with 1..SHORT_MAX nnz pack into strided shared slices ({1,2}
+    # at stride 2, {3,4} at stride 4): 8/stride row LEVELS share each lane
+    # column and the kernel emits per-level sums — the TPU shape of the
+    # reference's short1/22/34 strategies (``dasp_f64.h:595-713``).
+    # Rows of 5-16 nnz from DUMPED blocks go to medium buckets (stride 8,
+    # width 1 or 2).  Each block's bucket rows sit block-atomically in one
+    # level so one outgather source per bucket suffices; conflict rejects
+    # spill to the rem levels.
+    ALL_BUCKETS = SHORT_BUCKETS + MED_BUCKETS
     short_lane_of_row = np.full(n, -1, dtype=np.int64)
     short_bucket_of_row = np.full(n, -1, dtype=np.int64)
     short_slice_of_block = [np.full(B, -1, dtype=np.int64)
-                            for _ in SHORT_BUCKETS]
+                            for _ in ALL_BUCKETS]
     short_level_of_block = [np.zeros(B, dtype=np.int64)
-                            for _ in SHORT_BUCKETS]
-    n_short_slices = [0] * len(SHORT_BUCKETS)
+                            for _ in ALL_BUCKETS]
+    n_short_slices = [0] * len(ALL_BUCKETS)
     if n:
         CAPS = LANES - 1                  # lane 127 reserved always-zero
-        short_parts, short_strides, short_owner = [], [], []
+        short_parts, short_meta = [], []  # meta = (bi, sid, stride, w8)
         prev_max = 0
-        for bi, (max_len, s) in enumerate(SHORT_BUCKETS):
-            sel_rows = np.flatnonzero(is_short & (lens > prev_max)
-                                      & (lens <= max_len))
+        for bi, (max_len, s, bw8) in enumerate(ALL_BUCKETS):
+            if bi < len(SHORT_BUCKETS):
+                sel_mask = is_short & (lens > prev_max) & (lens <= max_len)
+            else:
+                sel_mask = is_med_bucket & (lens > prev_max) \
+                    & (lens <= max_len)
             prev_max = max_len
+            sel_rows = np.flatnonzero(sel_mask)
             if sel_rows.size == 0:
                 continue
             G = SUB // s                  # levels per slice
             ub, bstart = np.unique(blk[sel_rows], return_index=True)
             bstart = np.append(bstart, sel_rows.size)
             # slice/level accumulation, block-atomic per level
-            sid = n_short_slices[bi]
             level, cnt = 0, 0
             level_rows: List[np.ndarray] = []
 
-            def flush_level(bi=bi, s=s):
+            def flush_level(bi=bi, s=s, bw8=bw8):
                 nonlocal level_rows, cnt
                 if not level_rows:
                     return
@@ -684,18 +700,25 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 starts = np.concatenate([[0], np.cumsum(ln_l)[:-1]])
                 k = np.arange(tot) - np.repeat(starts, ln_l)
                 eidx = np.repeat(rpt[rows_l], ln_l) + k
-                short_parts[-1][0].append(np.repeat(lanes_l, ln_l))
-                short_parts[-1][1].append(level * s + k)
-                short_parts[-1][2].append(cols_all[eidx])
-                short_parts[-1][3].append(vals_all[eidx])
-                short_parts[-1][4].append(np.repeat(rows_l, ln_l))
+                # rows spread over the slice's bw8 vregs, c elements each
+                c = np.maximum(1, -(-ln_l // bw8))
+                c_rep = np.repeat(c, ln_l)
+                v_of = k // c_rep
+                part = short_parts[-1]
+                for v in range(bw8):
+                    m = v_of == v
+                    part[v][0].append(np.repeat(lanes_l, ln_l)[m])
+                    part[v][1].append(level * s + (k % c_rep)[m])
+                    part[v][2].append(cols_all[eidx[m]])
+                    part[v][3].append(vals_all[eidx[m]])
+                    part[v][4].append(np.repeat(rows_l, ln_l)[m])
                 level_rows = []
                 cnt = 0
 
-            def open_slice(bi=bi, s=s):
-                short_parts.append(([], [], [], [], []))
-                short_strides.append(s)
-                short_owner.append((bi, n_short_slices[bi]))
+            def open_slice(bi=bi, s=s, bw8=bw8):
+                short_parts.append([([], [], [], [], [])
+                                    for _ in range(bw8)])
+                short_meta.append((bi, n_short_slices[bi], s, bw8))
                 n_short_slices[bi] += 1
 
             open_slice()
@@ -714,28 +737,31 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                     if level == G:
                         open_slice()
                         level = 0
-                short_slice_of_block[bi][b] = short_owner[-1][1]
+                short_slice_of_block[bi][b] = short_meta[-1][1]
                 short_level_of_block[bi][b] = level
                 level_rows.append(br)
                 cnt += br.size
             flush_level()
         if short_parts:
-            erows = [np.concatenate(p[4]) if p[4] else
-                     np.zeros(0, dtype=np.int64) for p in short_parts]
-            parts = [(np.concatenate(p[0]) if p[0] else
-                      np.zeros(0, dtype=np.int64),
-                      np.concatenate(p[1]) if p[1] else
-                      np.zeros(0, dtype=np.int64),
-                      np.concatenate(p[2]) if p[2] else
-                      np.zeros(0, dtype=np.int64),
-                      np.concatenate(p[3]) if p[3] else np.zeros(0))
-                     for p in short_parts]
-            routed = _route_vregs_batch(parts, p_cap, short_strides)
-            for (vt, it, wl, om), s, (bi, sid) \
-                    in zip(routed, short_strides, short_owner):
+            def cat(lst, dt=np.int64):
+                return (np.concatenate(lst) if lst
+                        else np.zeros(0, dtype=dt))
+            flat = [p for slc in short_parts for p in slc]
+            erows = [cat(p[4]) for p in flat]
+            parts = [(cat(p[0]), cat(p[1]), cat(p[2]), cat(p[3], float))
+                     for p in flat]
+            strides_flat = [m[2] for m in short_meta
+                            for _ in range(m[3])]
+            routed = _route_vregs_batch(parts, p_cap, strides_flat)
+            cur = 0
+            for bi, sid, s, bw8 in short_meta:
+                tiles = [(routed[cur + v][0], routed[cur + v][1],
+                          routed[cur + v][2]) for v in range(bw8)]
+                p_used = max(1, max(t[2].size for t in tiles))
                 packets.append(_Packet(
-                    f"short{bi}", 1, _p_class(max(wl.size, 1), p_cap),
-                    [(vt, it, wl)], sid, stride=s))
+                    f"short{bi}", bw8, _p_class(p_used, p_cap),
+                    tiles, sid, stride=s))
+                cur += bw8
             for pt, er, (vt, it, wl, om) in zip(parts, erows, routed):
                 if om.any():
                     ovf_r.append(er[om])
@@ -759,6 +785,23 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     n_rem_slices = [0, 0]
     NEIGHBORHOOD = 8          # blocks per shared slice (locality bound)
     CAPL = LANES - 1          # lanes per slice (zero pad at 127)
+
+    # Output-source budget: a block has K_SOURCES outgather slots shared by
+    # its primary slice, length buckets, rem levels, and long-scalar rows
+    # (dynamic allocation, see the out-table section).  Blocks already at
+    # budget keep their overflow rows out of further rem levels (-> COO).
+    if n:
+        slots_committed = (slice_of_block >= 0).astype(np.int64)
+        for bi in range(len(ALL_BUCKETS)):
+            slots_committed += short_slice_of_block[bi] >= 0
+        has_long_b = np.zeros(B, dtype=bool)
+        lb = np.flatnonzero(is_long) // LANES
+        has_long_b[lb] = True
+        # reserve 2 slots for long-scalar rows, 1 otherwise (fragment risk)
+        rem_budget = K_SOURCES - slots_committed - np.where(
+            has_long_b, 2, 1)
+    else:
+        rem_budget = np.zeros(0, dtype=np.int64)
 
     def build_shared_level(level, o_rows, o_cols, o_vals):
         """Pack overflow triplets into shared slices; returns leftovers."""
@@ -804,6 +847,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             # routing conflicts spill
             max_len = int(np.minimum(cnts, SUB * W8_CLASSES[-1]).max())
             w8 = next(c for c in W8_CLASSES if SUB * c >= max_len)
+            w8_cap = min(w8 * 4, W8_CLASSES[-1])
             best = None
             while True:
                 cap = SUB * w8
@@ -835,8 +879,11 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 # chase a few long rows' capacity pads the whole slice
                 # (measured occ 0.11 on power-law rem pools); capacity
                 # tails cascade to the next level / fragments instead
-                if (n_ovf <= 0.01 * max(lanes_e.size, 1)
-                        or w8 == W8_CLASSES[-1]):
+                # economic growth: a width step costs ~w8 x 1024-slot
+                # stream bytes while each residual conflict costs one COO
+                # element-gather (~equal per-element); grow only while the
+                # conflicts outweigh the step
+                if n_ovf <= w8 or w8 >= w8_cap:
                     break
                 w8 = W8_CLASSES[W8_CLASSES.index(w8) + 1]
             tiles, p_used, n_ovf, ovfs, cap, _ = best
@@ -872,8 +919,20 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             ubs = np.unique(ublocks)
             prof = np.array([row_counts[ublocks == b].max() for b in ubs])
             block_order = ubs[np.argsort(prof, kind="stable")]
+        rem_used = (rem_slice_of_block[0] >= 0).astype(np.int64) \
+            + (rem_slice_of_block[1] >= 0)
         cur_rows, cur_blocks, cur_count = [], [], 0
         for b in block_order:
+            if rem_used[b] >= rem_budget[b]:
+                # block out of outgather slots: rows cascade onward
+                br = urows_all[ublocks == b]
+                ri = np.searchsorted(urows_all, br)
+                for i in ri:
+                    s0, s1 = row_start[i], row_start[i + 1]
+                    left_r.append(o_rows[s0:s1])
+                    left_c.append(o_cols[s0:s1])
+                    left_v.append(o_vals[s0:s1])
+                continue
             if (level == 0 and cur_blocks
                     and b - cur_blocks[0] >= NEIGHBORHOOD):
                 emit(np.concatenate(cur_rows), cur_blocks)
@@ -1132,8 +1191,8 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         cls, stride = key
         stream_idx[key] = len(streams)
         mine = [p for p in packets if (p.cls, p.stride) == key]
-        kind_rank = {"sell": 0, "short0": 1, "short1": 2,
-                     "rem2": 3, "rem3": 4, "long": 5}
+        kind_rank = {"sell": 0, "short0": 1, "short1": 2, "short2": 3,
+                     "short3": 4, "rem2": 5, "rem3": 6, "long": 7}
         mine.sort(key=lambda p: (kind_rank[p.kind], p.w8, p.block))
         vals_parts, idx_parts, win_parts = [], [], []
         vreg_cursor = 0
@@ -1155,10 +1214,8 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                     win_parts.append(wl)
                 if p.kind == "sell":
                     y2_row_of_slice[p.block] = out_row
-                elif p.kind == "short0":
-                    y2_row_of_shortslice[0][p.block] = out_row
-                elif p.kind == "short1":
-                    y2_row_of_shortslice[1][p.block] = out_row
+                elif p.kind.startswith("short"):
+                    y2_row_of_shortslice[int(p.kind[5:])][p.block] = out_row
                 elif p.kind == "rem2":
                     y2_row_of_remslice[0][p.block] = out_row
                 else:
@@ -1218,42 +1275,39 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         sid = slice_of_block[b]
         if sid >= 0 and y2_row_of_slice[sid] >= 0:
             y2_row_of_block[b] = y2_row_of_slice[sid] + level_of_block[b]
+    # Sources allocate K_SOURCES slots per block dynamically: primary,
+    # then length buckets, rem levels, long-scalar rows — each appended
+    # only when the block actually uses it (the slot budget above keeps
+    # the total within K_SOURCES).
     out_src = np.full((B, K_SOURCES), Z, dtype=np.int64)
     out_perm = np.zeros((B, K_SOURCES, LANES), dtype=np.int64)
     for b in range(B):
         rows = np.arange(b * LANES, min((b + 1) * LANES, n))
         nlanes = rows.size
-        # k=0: primary slice
-        out_src[b, 0] = y2_row_of_block[b]
-        lanes0 = block_lane_of_row[rows]
-        pad0 = block_pad_lane[b]
-        out_perm[b, 0, :nlanes] = np.where(lanes0 >= 0, lanes0,
-                                           max(pad0, 0))
-        if (lanes0 < 0).any() and pad0 < 0:
-            # no pad lane but non-sell rows exist: impossible (non-sell
-            # rows create pads); guard anyway
-            out_src[b, 0] = Z if nlanes == 0 else out_src[b, 0]
-        # k=1,2: short-row bucket slices (strided, shared; lane 127 is
-        # the reserved zero pad)
-        for bi in range(len(SHORT_BUCKETS)):
+        srcs: List[Tuple[int, np.ndarray]] = []
+        # primary slice
+        if y2_row_of_block[b] != Z:
+            lanes0 = block_lane_of_row[rows]
+            pad0 = block_pad_lane[b]
+            srcs.append((int(y2_row_of_block[b]),
+                         np.where(lanes0 >= 0, lanes0, max(pad0, 0))))
+        # length-bucket slices (shared; lane 127 is the reserved zero pad)
+        for bi in range(len(ALL_BUCKETS)):
             sid = short_slice_of_block[bi][b]
             if sid >= 0 and y2_row_of_shortslice[bi][sid] >= 0:
-                out_src[b, 1 + bi] = (y2_row_of_shortslice[bi][sid]
-                                      + short_level_of_block[bi][b])
                 lanes_s = np.where(short_bucket_of_row[rows] == bi,
                                    short_lane_of_row[rows], -1)
-                out_perm[b, 1 + bi, :nlanes] = np.where(
-                    lanes_s >= 0, lanes_s, LANES - 1)
-        # k=3,4: re-routed tails/conflict slices (shared; lane 127 is
-        # the reserved zero pad)
+                srcs.append((int(y2_row_of_shortslice[bi][sid]
+                                 + short_level_of_block[bi][b]),
+                             np.where(lanes_s >= 0, lanes_s, LANES - 1)))
+        # re-routed tails/conflict slices
         for level in range(2):
             sid = rem_slice_of_block[level][b]
             if sid >= 0:
-                out_src[b, 3 + level] = y2_row_of_remslice[level][sid]
                 lanes2 = rem_lane_of_row[level][rows]
-                out_perm[b, 3 + level, :nlanes] = np.where(
-                    lanes2 >= 0, lanes2, LANES - 1)
-        # k=5,6: long/fragment scalars (contiguous in row order per block)
+                srcs.append((int(y2_row_of_remslice[level][sid]),
+                             np.where(lanes2 >= 0, lanes2, LANES - 1)))
+        # long/fragment scalars (contiguous in row order per block)
         lmask = np.array([int(r) in scalar_pos_of_row for r in rows])
         if lmask.any():
             lrows = rows[lmask]
@@ -1264,12 +1318,18 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             if uniq.size > 2:
                 raise AssertionError(
                     "long rows of one block span >2 scalar rows")
-            for kk, sr in enumerate(uniq):
-                k = 5 + kk
-                out_src[b, k] = sr
+            for sr in uniq:
+                perm = np.full(LANES, LANES - 1, dtype=np.int64)
                 sel = src_rows == sr
-                out_perm[b, k, :] = LANES - 1          # zero lane
-                out_perm[b, k, np.flatnonzero(lmask)[sel]] = lanes_l[sel]
+                perm[np.flatnonzero(lmask)[sel]] = lanes_l[sel]
+                srcs.append((int(sr), perm))
+        if len(srcs) > K_SOURCES:
+            raise AssertionError(
+                f"block {b} needs {len(srcs)} outgather sources "
+                f"(budget {K_SOURCES})")
+        for k, (sr, perm) in enumerate(srcs):
+            out_src[b, k] = sr
+            out_perm[b, k, :min(perm.size, LANES)] = perm[:LANES]
         # unused k sources keep Z with perm 0 (Z is all zeros)
 
     overflow = None
