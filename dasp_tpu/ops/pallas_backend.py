@@ -85,15 +85,24 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool,
                 else:
                     # static round unroll: a dynamic (while) loop would
                     # serialize the vector pipeline; fine-grained P classes
-                    # keep the padding small instead.
+                    # keep the padding small instead.  Rounds combine by a
+                    # masked-sum TREE (each slot matches exactly one
+                    # round), not a select chain: the chain is a P-deep
+                    # serial dependency while the tree is log2(P) and the
+                    # per-round gathers pipeline freely.
                     rnd = jax.lax.shift_right_logical(idx, 10)
-                    g = None
+                    terms = []
                     for p in range(P):
                         w = pl.multiple_of(win_ref[v, 1 + p], SUB)
                         xw = x_ref[pl.ds(w, SUB), :]
                         gp = jnp.take_along_axis(xw, q, axis=0)
                         gp = jnp.take_along_axis(gp, lam, axis=1)
-                        g = gp if g is None else jnp.where(rnd == p, gp, g)
+                        terms.append(jnp.where(rnd == p, gp, 0.0))
+                    while len(terms) > 1:
+                        terms = [terms[i] + terms[i + 1]
+                                 if i + 1 < len(terms) else terms[i]
+                                 for i in range(0, len(terms), 2)]
+                    g = terms[0]
                 prod = vals.astype(jnp.float32) * g
                 for L in range(R):
                     parts.append(jnp.sum(
