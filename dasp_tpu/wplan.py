@@ -1349,6 +1349,11 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         "short_row_2": int(np.sum(lens == 2)),
         "short_row_3": int(np.sum(lens == 3)),
         "short_row_4": int(np.sum(lens == 4)),
+        # strided/bucketed structure counts (no reference analog: the
+        # short strategies there are kernel dispatch ranges)
+        "bucket_slices": [int(ns) for ns in n_short_slices],
+        "rem_slices": [int(ns) for ns in n_rem_slices],
+        "n_frag": int(len(frags)),
     }
     stats = {
         "fill0_nnz_total": float(padded),

@@ -3,8 +3,8 @@
 import numpy as np
 import pytest
 
-from dasp_tpu.sparse import (CSRMatrix, fem_like, mixed_categories,
-                             powerlaw_like, random_csr)
+from dasp_tpu.sparse import (CSRMatrix, circuit_like, fem_like,
+                             mixed_categories, powerlaw_like, random_csr)
 from dasp_tpu.wplan import build_wplan, SUB, LANES, VREG
 
 
@@ -104,7 +104,30 @@ CASES = {
     # stream classes and kernels
     "scattered_long": lambda rng: random_csr(
         200, 400_000, np.where(np.arange(200) % 50 == 0, 2000, 3), rng),
+    # circuit archetype: short rows (strided buckets) + sparse medium
+    # rows (dumped to the length-bucketed med slices) + a few rails
+    "circuit": lambda rng: circuit_like(6000, rng),
 }
+
+
+def test_length_buckets_activate(rng):
+    """Short AND medium length buckets must engage on the circuit
+    archetype (strides 2/4 for 1-4 nnz rows, med slices for dumped 5-16
+    nnz rows) and the result must match golden through the emulator."""
+    csr = CASES["circuit"](rng)
+    plan = build_wplan(csr)
+    strides = {s.stride for s in plan.streams}
+    assert 2 in strides and 4 in strides, f"short buckets inactive: {strides}"
+    # med bucket slices show up as extra y2 sources on out_src: at least
+    # some blocks must use more than 3 sources (primary+2 shorts)
+    used = (plan.out_src < plan.n_y2_rows).sum(axis=1)
+    assert used.max() >= 4
+    x = rng.standard_normal(csr.n_cols)
+    y = _emulate(plan, x)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(y / scale, golden / scale,
+                               rtol=1e-12, atol=1e-12)
 
 
 def test_dyn_round_classes(rng):
