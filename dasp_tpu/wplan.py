@@ -1023,9 +1023,15 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         # sequential dealing is optimal when each 1024-chunk already fits
         # the static window budget (dense sorted regions); the scattered
         # fallback deals sequentially too (dynamic round classes absorb
-        # the window counts up to LONG_P_CAP)
-        chunk_w = max((np.unique(w_of[v * VREG:(v + 1) * VREG]).size
-                       for v in range(nv_base)), default=0)
+        # the window counts up to LONG_P_CAP).  Distinct windows per chunk
+        # = boundary count in the sorted stream (no per-chunk unique).
+        if ln:
+            wcnt = np.cumsum(np.r_[1, (np.diff(w_of) != 0)])
+            bounds = np.r_[np.arange(0, ln, VREG), ln]
+            chunk_w = int((wcnt[np.minimum(bounds[1:], ln) - 1]
+                           - wcnt[bounds[:-1]] + 1).max())
+        else:
+            chunk_w = 0
         sequential = chunk_w <= LONG_WIN_CAP
         if not sequential:
             starts = np.r_[0, np.flatnonzero(np.diff(w_of)) + 1]
