@@ -549,12 +549,8 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                       out=offsets[1:])
             lane_s, ipref_s = elane[o2], ipref[o2]
             col_s, val_s, erow_s = ecol[o2], eval_[o2], erow[o2]
-            parts = [(lane_s[offsets[v]:offsets[v + 1]],
-                      ipref_s[offsets[v]:offsets[v + 1]],
-                      col_s[offsets[v]:offsets[v + 1]],
-                      val_s[offsets[v]:offsets[v + 1]])
-                     for v in range(total_vregs)]
-            routed = _route_vregs_batch(parts, p_cap, stride_v)
+            routed = _route_concat(offsets, lane_s, ipref_s, col_s, val_s,
+                                   p_cap, stride_v)
             ovf_sorted = np.concatenate([r[3] for r in routed]) \
                 if routed else np.zeros(0, dtype=bool)
             loss = {}
