@@ -252,23 +252,38 @@ def test_matmat_multivector(rng):
                                    rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6, 7, 8])
 def test_fuzz_packer_vs_golden(seed):
-    """Randomized packer fuzz: random shapes/densities/configs, emulator
+    """Randomized packer fuzz across all matrix archetypes (uniform,
+    power-law, circuit, mixed): random shapes/densities/configs, emulator
     vs golden."""
     from dasp_tpu.config import DaspConfig
     rng = np.random.default_rng(seed)
-    n = int(rng.integers(5, 600))
-    m = int(rng.integers(5, 3000))
-    lens = rng.integers(0, min(m, int(rng.integers(2, 400))), size=n)
-    csr = random_csr(n, m, lens, rng)
+    kind = seed % 4
+    if kind == 0:
+        n = int(rng.integers(5, 600))
+        m = int(rng.integers(5, 3000))
+        lens = rng.integers(0, min(m, int(rng.integers(2, 400))), size=n)
+        csr = random_csr(n, m, lens, rng)
+    elif kind == 1:
+        csr = powerlaw_like(int(rng.integers(100, 3000)),
+                            1.6 + rng.random(),
+                            int(rng.integers(100, 4000)), rng,
+                            col_alpha=float(rng.choice([0, 1.5, 2.5])))
+    elif kind == 2:
+        csr = circuit_like(int(rng.integers(200, 4000)), rng,
+                           spread=int(rng.integers(10, 1000)))
+    else:
+        csr = mixed_categories(int(rng.integers(50, 1200)), rng,
+                               block_longest=int(rng.choice([64, 128, 256])))
     cfg = DaspConfig(
         block_longest=int(rng.choice([64, 256])),
         threshold=float(rng.choice([0.5, 0.75, 0.9])))
     plan = build_wplan(csr, cfg)
-    x = rng.standard_normal(m)
+    plan.check()
+    x = rng.standard_normal(csr.n_cols)
     y = _emulate(plan, x)
     golden = csr.spmv(x)
     scale = np.maximum(np.abs(golden), 1.0)
     np.testing.assert_allclose(y / scale, golden / scale,
-                               rtol=1e-12, atol=1e-12)
+                               rtol=1e-11, atol=1e-11)
