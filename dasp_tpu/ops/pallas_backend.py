@@ -785,6 +785,17 @@ class PallasSpMV:
             return dd.to_f64(np.asarray(y["hi"]), np.asarray(y["lo"]))
         return np.asarray(y)
 
+    def _matmat_fn(self):
+        # cached across calls: a per-operator jit (a fresh jit per call
+        # would retrace+recompile every time, measured 1.1s/call)
+        fn = getattr(self, "_matmat_jit", None)
+        if fn is None:
+            meta = self._meta
+            fn = jax.jit(jax.vmap(lambda a, xd: spmv_fn(meta, a, xd),
+                                  in_axes=(None, 0)))
+            self._matmat_jit = fn
+        return fn
+
     def matmat(self, X):
         """Multi-vector SpMV (SpMM): Y = A @ X for X of shape (n_cols, k),
         vmapped over the packed kernels (the reference is SpMV-only)."""
@@ -793,10 +804,7 @@ class PallasSpMV:
         stacked = jax.tree.map(
             lambda *xs: jnp.stack(xs),
             *[prep_x(self._meta, X[:, j]) for j in range(k)])
-        meta = self._meta
-        fn = jax.jit(jax.vmap(lambda a, xd: spmv_fn(meta, a, xd),
-                              in_axes=(None, 0)), static_argnums=())
-        y = fn(self._arrays, stacked)
+        y = self._matmat_fn()(self._arrays, stacked)
         if self.dtype == "f64":
             from . import dd
             return dd.to_f64(np.asarray(y["hi"]),
