@@ -46,6 +46,12 @@ class DaspConfig:
       pair_13_min_slots: minimum number of (1,3) pairs, in units of packed
         slots, before pairing is worthwhile.  The reference requires 16 blocks
         of 8 slots (``dasp_f64.h:598``): 128 slots.
+      relabel: "off" or "first_touch" — relabel columns at pack time for
+        window locality (hubs front in degree order, tail in first-touch
+        order; dasp_tpu/relabel.py).  The plan then carries ``col_perm``
+        and x is permuted host-side in ``prep_x``.  Windowed (Pallas)
+        backend only; the XLA executor ignores it.
+      relabel_hub_deg: minimum column degree to count as a hub.
     """
 
     block_longest: int = 256
@@ -55,6 +61,8 @@ class DaspConfig:
     long_chunk: int = LANES
     pair_13: bool = True
     pair_13_min_slots: int = 128
+    relabel: str = "off"
+    relabel_hub_deg: int = 8
 
     def __post_init__(self):
         if self.block_longest < 5:
@@ -73,6 +81,8 @@ class DaspConfig:
                 "medium row fits a slice")
         if self.long_chunk % LANES != 0:
             raise ValueError(f"long_chunk must be a multiple of {LANES}")
+        if self.relabel not in ("off", "first_touch"):
+            raise ValueError("relabel must be 'off' or 'first_touch'")
 
 
 DEFAULT_CONFIG = DaspConfig()

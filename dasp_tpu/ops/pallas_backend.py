@@ -576,18 +576,25 @@ def plan_to_arrays(plan, dtype: str = "f32",
     return meta, arrays
 
 
-def prep_x(meta: WMeta, x: np.ndarray):
+def prep_x(meta: WMeta, x: np.ndarray, col_perm=None):
     """Host-side: pad x to the (s_rows,128) table shape (hi/lo pair for
-    the f64 path)."""
+    the f64 path).  ``col_perm`` (plan.col_perm, old->new) scatters x into
+    relabeled column order when the plan was packed with config.relabel."""
     if meta.dtype == "f64":
         from . import dd as _dd
         xp = np.zeros(meta.s_rows * LANES, dtype=np.float64)
-        xp[:meta.n_cols] = np.asarray(x, dtype=np.float64)[:meta.n_cols]
+        if col_perm is not None:
+            xp[col_perm] = np.asarray(x, dtype=np.float64)[:meta.n_cols]
+        else:
+            xp[:meta.n_cols] = np.asarray(x, dtype=np.float64)[:meta.n_cols]
         hi, lo = _dd.from_f64(xp)
         return dict(hi=hi.reshape(meta.s_rows, LANES),
                     lo=lo.reshape(meta.s_rows, LANES))
     xp = np.zeros(meta.s_rows * LANES, dtype=np.float32)
-    xp[:meta.n_cols] = np.asarray(x, dtype=np.float32)[:meta.n_cols]
+    if col_perm is not None:
+        xp[col_perm] = np.asarray(x, dtype=np.float32)[:meta.n_cols]
+    else:
+        xp[:meta.n_cols] = np.asarray(x, dtype=np.float32)[:meta.n_cols]
     return xp.reshape(meta.s_rows, LANES)
 
 
@@ -756,7 +763,7 @@ class PallasSpMV:
     backend = "pallas"
 
     def _prep_x(self, x):
-        return jax.device_put(prep_x(self._meta, x))
+        return jax.device_put(prep_x(self._meta, x, self.plan.col_perm))
 
     def device_call(self, x_dev):
         return self._fn(self._meta, self._arrays, x_dev)
@@ -803,7 +810,8 @@ class PallasSpMV:
         k = X.shape[1]
         stacked = jax.tree.map(
             lambda *xs: jnp.stack(xs),
-            *[prep_x(self._meta, X[:, j]) for j in range(k)])
+            *[prep_x(self._meta, X[:, j], self.plan.col_perm)
+              for j in range(k)])
         y = self._matmat_fn()(self._arrays, stacked)
         if self.dtype == "f64":
             from . import dd
@@ -857,19 +865,19 @@ class SlabbedPallasSpMV:
             plan = build_wplan(sub, config or DEFAULT_CONFIG)
             meta, arrays = plan_to_arrays(plan, dtype)
             self.slabs.append((lo, sub.n_cols, meta,
-                               jax.device_put(arrays)))
+                               jax.device_put(arrays), plan.col_perm))
         self.plan = None
         self._fn = jax.jit(spmv_fn, static_argnums=0)
         self.preprocess_seconds = time.perf_counter() - t0
 
     def _prep_x(self, x):
         x = np.asarray(x)
-        return [jax.device_put(prep_x(meta, x[lo:lo + w]))
-                for lo, w, meta, _ in self.slabs]
+        return [jax.device_put(prep_x(meta, x[lo:lo + w], perm))
+                for lo, w, meta, _, perm in self.slabs]
 
     def device_call(self, x_devs):
         y = None
-        for (lo, w, meta, arrays), xd in zip(self.slabs, x_devs):
+        for (lo, w, meta, arrays, _), xd in zip(self.slabs, x_devs):
             yj = self._fn(meta, arrays, xd)
             if y is None:
                 y = yj
@@ -890,7 +898,7 @@ class SlabbedPallasSpMV:
         def loop(all_arrays, x_devs):
             def one(x_devs):
                 y = None
-                for (lo, w, meta, _), arrays, xd in zip(
+                for (lo, w, meta, _, _), arrays, xd in zip(
                         slabs, all_arrays, x_devs):
                     yj = spmv_fn(meta, arrays, xd)
                     if y is None:
@@ -916,7 +924,7 @@ class SlabbedPallasSpMV:
             x_devs = jax.lax.fori_loop(0, iters, body, x_devs)
             return one(x_devs)
 
-        all_arrays = [a for _, _, _, a in self.slabs]
+        all_arrays = [a for _, _, _, a, _ in self.slabs]
         return lambda x_devs: loop(all_arrays, x_devs)
 
     def __call__(self, x):

@@ -231,6 +231,18 @@ class WMultiChipSpMV:
         self.dtype = dtype
         self.n_rows, self.n_cols = csr.n_rows, csr.n_cols
 
+        # Column relabel must be GLOBAL here (x is replicated via
+        # all_gather; per-chip perms would need per-chip copies of x), so
+        # apply it once before partitioning and pack each slab with
+        # relabel off.
+        self.col_perm = None
+        if config.relabel != "off" and csr.nnz:
+            import dataclasses as _dc
+            from .relabel import first_touch_perm, apply_col_perm
+            self.col_perm = first_touch_perm(csr, config.relabel_hub_deg)
+            csr = apply_col_perm(csr, self.col_perm)
+            config = _dc.replace(config, relabel="off")
+
         # contiguous slabs of whole 128-row blocks, nnz-balanced
         raw = partition_rows(csr, self.n_devices)
         bounds = [0]
@@ -295,7 +307,10 @@ class WMultiChipSpMV:
         from .wplan import LANES
         total = self.meta.s_rows * LANES
         xp = np.zeros(total, dtype=np.float64)
-        xp[:self.n_cols] = np.asarray(x)[:self.n_cols]
+        if self.col_perm is not None:
+            xp[self.col_perm] = np.asarray(x)[:self.n_cols]
+        else:
+            xp[:self.n_cols] = np.asarray(x)[:self.n_cols]
         if self.dtype == "f64":
             hi, lo = dd.from_f64(xp)
             return jax.device_put(dict(hi=hi, lo=lo), self._x_sharding)
@@ -305,12 +320,18 @@ class WMultiChipSpMV:
         y = np.asarray(jax.device_get(
             self._step(self._arrays, self._prep_x(x))), dtype=np.float64)
         out = np.zeros(self.n_rows, dtype=np.float64)
+        x_rel = np.asarray(x)
+        if self.col_perm is not None:
+            # slab overflow CSRs carry relabeled column ids
+            xr = np.empty(self.n_cols, dtype=x_rel.dtype)
+            xr[self.col_perm] = x_rel[:self.n_cols]
+            x_rel = xr
         for d, (start, end) in enumerate(self.slabs):
             part = y[d, 0] + y[d, 1] if self.dtype == "f64" else y[d]
             out[start:end] = part[:end - start]
             ovf = self.overflows[d]
             if ovf is not None:
-                out[start:end] += ovf.spmv(np.asarray(x))[:end - start]
+                out[start:end] += ovf.spmv(x_rel)[:end - start]
         return out
 
 

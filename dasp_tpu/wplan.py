@@ -147,6 +147,10 @@ class WPlan:
     overflow: Optional[CSRMatrix]
     census: Dict[str, int]
     stats: Dict[str, float]
+    # When columns were relabeled at pack time (config.relabel), the old->new
+    # column map; x must be scattered through it before entering the kernels
+    # (ops.pallas_backend.prep_x).  None = identity.
+    col_perm: Optional[np.ndarray] = None
 
     def check(self) -> None:
         """Structural invariants: segments tile their streams exactly, long
@@ -169,6 +173,11 @@ class WPlan:
         over = self.overflow.nnz if self.overflow is not None else 0
         # explicit zeros in the input never occupy nonzero slots
         assert packed + over <= self.nnz, "elements double-packed"
+        if self.col_perm is not None:
+            assert self.col_perm.shape == (self.n_cols,)
+            assert np.array_equal(np.sort(self.col_perm),
+                                  np.arange(self.n_cols)), \
+                "col_perm must be a permutation"
 
 
 # ---------------------------------------------------------------------------
@@ -357,6 +366,12 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # p_cap <= 32 keeps slot metadata in 15 bits (round<<10|q<<7|lam), so
     # the index stream ships as int16 — 25% less HBM traffic at fp32.
     csr.check()
+    col_perm = None
+    if config.relabel == "first_touch" and csr.nnz:
+        from .relabel import first_touch_perm, apply_col_perm
+        col_perm = first_touch_perm(csr, config.relabel_hub_deg)
+        csr = apply_col_perm(csr, col_perm)
+        col_perm = col_perm.astype(np.int32)
     n = csr.n_rows
     lens = csr.row_lengths.astype(np.int64)
     rpt = csr.row_ptr.astype(np.int64)
@@ -1371,7 +1386,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         out_src=out_src.astype(np.int32),
         out_perm=out_perm.reshape(B * K_SOURCES, LANES).astype(np.int32),
         n_y2_rows=int(n_y2_rows), overflow=overflow,
-        census=census, stats=stats)
+        census=census, stats=stats, col_perm=col_perm)
     plan.check()
     return plan
 
@@ -1598,7 +1613,8 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
             s_rows=p.s_rows, streams=new_streams, sell=new_sell,
             longs=final_longs, n_long=n_long_canon,
             out_src=new_src, out_perm=new_perm, n_y2_rows=n_y2_new,
-            overflow=p.overflow, census=p.census, stats=p.stats))
+            overflow=p.overflow, census=p.census, stats=p.stats,
+            col_perm=p.col_perm))
     return out_plans
 
 
@@ -1631,6 +1647,8 @@ def save_wplan(plan: WPlan, path) -> None:
         arrays[f"l{i}_pos"] = lg.scalar_pos
     arrays["out_src"] = plan.out_src
     arrays["out_perm"] = plan.out_perm
+    if plan.col_perm is not None:
+        arrays["col_perm"] = plan.col_perm
     if plan.overflow is not None:
         arrays["ovf_rpt"] = plan.overflow.row_ptr
         arrays["ovf_cid"] = plan.overflow.col_idx
@@ -1663,6 +1681,7 @@ def load_wplan(path) -> WPlan:
         sell=sell, longs=longs, n_long=meta["n_long"],
         out_src=z["out_src"], out_perm=z["out_perm"],
         n_y2_rows=meta["n_y2_rows"], overflow=overflow,
-        census=meta["census"], stats=meta["stats"])
+        census=meta["census"], stats=meta["stats"],
+        col_perm=z["col_perm"] if "col_perm" in z else None)
     plan.check()
     return plan

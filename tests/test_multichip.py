@@ -81,3 +81,19 @@ def test_windowed_multichip_powerlaw(rng):
     scale = np.maximum(np.abs(golden), 1.0)
     np.testing.assert_allclose(op(x) / scale, golden / scale,
                                rtol=2e-5, atol=2e-5)
+
+
+def test_windowed_multichip_relabel(rng):
+    """Global column relabel composes with the row-partitioned multichip
+    path (one shared perm, applied in _prep_x before sharding)."""
+    from dasp_tpu.config import DaspConfig
+    from dasp_tpu.parallel import WMultiChipSpMV
+    csr = powerlaw_like(2000, 1.8, 4000, rng, col_alpha=1.6)
+    op = WMultiChipSpMV(csr, dtype="f32",
+                        config=DaspConfig(relabel="first_touch"))
+    assert op.col_perm is not None
+    x = rng.standard_normal(csr.n_cols)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(op(x) / scale, golden / scale,
+                               rtol=2e-5, atol=2e-5)

@@ -287,3 +287,73 @@ def test_fuzz_packer_vs_golden(seed):
     scale = np.maximum(np.abs(golden), 1.0)
     np.testing.assert_allclose(y / scale, golden / scale,
                                rtol=1e-11, atol=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# Column relabel (runtime x-permutation, dasp_tpu/relabel.py)
+# ---------------------------------------------------------------------------
+
+
+def _relabel_cfg():
+    from dasp_tpu.config import DaspConfig
+    return DaspConfig(relabel="first_touch")
+
+
+@pytest.mark.parametrize("name", ["powerlaw", "powerlaw_deg", "circuit"])
+def test_relabel_matches_golden(rng, name):
+    """Operators built with config.relabel must be transparent: same x in,
+    same y out (the perm is applied internally in prep_x)."""
+    from dasp_tpu.ops.pallas_backend import PallasSpMV
+    csr = CASES[name](rng)
+    op = PallasSpMV(csr, dtype="f32", config=_relabel_cfg())
+    assert op.plan.col_perm is not None
+    op.plan.check()
+    x = rng.standard_normal(csr.n_cols)
+    y = op(x)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(y / scale, golden / scale,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_relabel_reduces_vector_cost(rng):
+    """On a no-locality power-law matrix the relabel must cut P-weighted
+    vector cost (the win measured in tools/relabel_experiment.py)."""
+    csr = CASES["powerlaw_deg"](rng)
+    base = build_wplan(csr)
+    rel = build_wplan(csr, _relabel_cfg())
+    cost = lambda p: sum(s.P * s.n_vregs for s in p.streams)
+    assert cost(rel) <= cost(base)
+
+
+def test_relabel_save_load_roundtrip(tmp_path, rng):
+    from dasp_tpu.wplan import save_wplan, load_wplan
+    csr = CASES["powerlaw"](rng)
+    plan = build_wplan(csr, _relabel_cfg())
+    p = tmp_path / "w.npz"
+    save_wplan(plan, p)
+    plan2 = load_wplan(p)
+    np.testing.assert_array_equal(plan.col_perm, plan2.col_perm)
+    xr = np.zeros(csr.n_cols)
+    x = rng.standard_normal(csr.n_cols)
+    xr[plan.col_perm] = x
+    y1 = _emulate(plan, xr)
+    y2 = _emulate(plan2, xr)
+    np.testing.assert_allclose(y1, y2, rtol=0, atol=0)
+
+
+def test_relabel_f64_matmat(rng):
+    """dd-f64 path and multi-vector SpMM both honor the perm."""
+    from dasp_tpu.ops.pallas_backend import PallasSpMV
+    csr = CASES["powerlaw"](rng)
+    op = PallasSpMV(csr, dtype="f64", config=_relabel_cfg())
+    x = rng.standard_normal(csr.n_cols)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(op(x) / scale, golden / scale,
+                               rtol=1e-10, atol=1e-10)
+    X = rng.standard_normal((csr.n_cols, 3))
+    Y = PallasSpMV(csr, dtype="f32", config=_relabel_cfg()).matmat(X)
+    G = np.stack([csr.spmv(X[:, j]) for j in range(3)], axis=1)
+    scale = np.maximum(np.abs(G), 1.0)
+    np.testing.assert_allclose(Y / scale, G / scale, rtol=2e-5, atol=2e-5)
