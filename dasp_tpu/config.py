@@ -46,11 +46,13 @@ class DaspConfig:
       pair_13_min_slots: minimum number of (1,3) pairs, in units of packed
         slots, before pairing is worthwhile.  The reference requires 16 blocks
         of 8 slots (``dasp_f64.h:598``): 128 slots.
-      relabel: "off" or "first_touch" — relabel columns at pack time for
-        window locality (hubs front in degree order, tail in first-touch
-        order; dasp_tpu/relabel.py).  The plan then carries ``col_perm``
-        and x is permuted host-side in ``prep_x``.  Windowed (Pallas)
-        backend only; the XLA executor ignores it.
+      relabel: "auto", "off" or "first_touch" — relabel columns at pack
+        time for window locality (hubs front in degree order, tail in
+        first-touch order; dasp_tpu/relabel.py).  "auto" relabels only
+        when it reduces the measured window spread (helps power-law
+        graphs +10-16%, would badly hurt banded/FEM).  The plan then
+        carries ``col_perm`` and x is permuted host-side in ``prep_x``.
+        Windowed (Pallas) backend only; the XLA executor ignores it.
       relabel_hub_deg: minimum column degree to count as a hub.
     """
 
@@ -61,7 +63,7 @@ class DaspConfig:
     long_chunk: int = LANES
     pair_13: bool = True
     pair_13_min_slots: int = 128
-    relabel: str = "off"
+    relabel: str = "auto"
     relabel_hub_deg: int = 8
 
     def __post_init__(self):
@@ -81,8 +83,9 @@ class DaspConfig:
                 "medium row fits a slice")
         if self.long_chunk % LANES != 0:
             raise ValueError(f"long_chunk must be a multiple of {LANES}")
-        if self.relabel not in ("off", "first_touch"):
-            raise ValueError("relabel must be 'off' or 'first_touch'")
+        if self.relabel not in ("auto", "off", "first_touch"):
+            raise ValueError(
+                "relabel must be 'auto', 'off' or 'first_touch'")
 
 
 DEFAULT_CONFIG = DaspConfig()

@@ -27,6 +27,19 @@ def _find_lib():
     for c in candidates:
         if os.path.exists(c):
             return c
+    # The .so is a build artifact (gitignored); build it on first use so a
+    # fresh checkout never silently falls back to the slow Python router.
+    srcdir = os.path.join(os.path.dirname(here), "native")
+    if os.path.exists(os.path.join(srcdir, "Makefile")):
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", srcdir], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+        c = os.path.join(srcdir, "libdasp_host.so")
+        if os.path.exists(c):
+            return c
     return None
 
 

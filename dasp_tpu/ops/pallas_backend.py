@@ -785,12 +785,31 @@ class PallasSpMV:
 
         return lambda x_dev: loop(self._arrays, x_dev)
 
+    def perm_in(self, v):
+        """Host: original-order vector -> the operator's internal (possibly
+        relabeled) index space, flat (for feeding device loops directly).
+        Identity when the plan carries no permutation."""
+        if self.plan.col_perm is None:
+            return np.asarray(v)
+        out = np.empty_like(np.asarray(v))
+        out[self.plan.col_perm] = np.asarray(v)
+        return out
+
+    def perm_out(self, y):
+        """Host: internal-order y -> original row order (the analog of
+        verifying through the reference's order_rid, main_f64.cu:3-16).
+        Identity when rows were not permuted."""
+        if self.plan.row_perm is None:
+            return np.asarray(y)
+        return np.asarray(y)[self.plan.row_perm]
+
     def __call__(self, x):
         y = self.device_call(self._prep_x(x))
         if self.dtype == "f64":
             from . import dd
-            return dd.to_f64(np.asarray(y["hi"]), np.asarray(y["lo"]))
-        return np.asarray(y)
+            return self.perm_out(
+                dd.to_f64(np.asarray(y["hi"]), np.asarray(y["lo"])))
+        return self.perm_out(np.asarray(y))
 
     def _matmat_fn(self):
         # cached across calls: a per-operator jit (a fresh jit per call
@@ -815,9 +834,12 @@ class PallasSpMV:
         y = self._matmat_fn()(self._arrays, stacked)
         if self.dtype == "f64":
             from . import dd
-            return dd.to_f64(np.asarray(y["hi"]),
-                             np.asarray(y["lo"])).T
-        return np.asarray(y).T
+            out = dd.to_f64(np.asarray(y["hi"]), np.asarray(y["lo"])).T
+        else:
+            out = np.asarray(y).T
+        if self.plan.row_perm is not None:
+            out = out[self.plan.row_perm]
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -862,7 +884,7 @@ class SlabbedPallasSpMV:
         self.dtype = dtype
         self.slabs = []
         for lo, sub in split_columns(csr, slab_cols):
-            plan = build_wplan(sub, config or DEFAULT_CONFIG)
+            plan = build_wplan(sub, config or DEFAULT_CONFIG, sym_ok=False)
             meta, arrays = plan_to_arrays(plan, dtype)
             self.slabs.append((lo, sub.n_cols, meta,
                                jax.device_put(arrays), plan.col_perm))

@@ -236,11 +236,24 @@ class WMultiChipSpMV:
         # apply it once before partitioning and pack each slab with
         # relabel off.
         self.col_perm = None
+        self.row_perm = None
         if config.relabel != "off" and csr.nnz:
             import dataclasses as _dc
-            from .relabel import first_touch_perm, apply_col_perm
-            self.col_perm = first_touch_perm(csr, config.relabel_hub_deg)
-            csr = apply_col_perm(csr, self.col_perm)
+            from .relabel import (apply_col_perm, apply_sym_perm,
+                                  choose_relabel, first_touch_perm)
+            sym = csr.n_rows == csr.n_cols
+            if config.relabel == "auto":
+                self.col_perm = choose_relabel(csr, config.relabel_hub_deg,
+                                               symmetric=sym)
+            else:
+                self.col_perm = first_touch_perm(csr,
+                                                 config.relabel_hub_deg)
+            if self.col_perm is not None:
+                if sym:
+                    csr = apply_sym_perm(csr, self.col_perm)
+                    self.row_perm = self.col_perm
+                else:
+                    csr = apply_col_perm(csr, self.col_perm)
             config = _dc.replace(config, relabel="off")
 
         # contiguous slabs of whole 128-row blocks, nnz-balanced
@@ -332,6 +345,8 @@ class WMultiChipSpMV:
             ovf = self.overflows[d]
             if ovf is not None:
                 out[start:end] += ovf.spmv(x_rel)[:end - start]
+        if self.row_perm is not None:
+            out = out[self.row_perm]
         return out
 
 

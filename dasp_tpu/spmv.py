@@ -124,6 +124,13 @@ class SpMVOperator:
 
         return lambda x_dev: loop(self._arrays, x_dev)
 
+    def perm_in(self, v):
+        """Interface parity with PallasSpMV (the XLA executor never
+        relabels, so both directions are the identity)."""
+        return np.asarray(v)
+
+    perm_out = perm_in
+
     def __call__(self, x) -> np.ndarray:
         y = self.device_call(self._prep_x(x))
         if self.dtype == F64:

@@ -151,6 +151,11 @@ class WPlan:
     # column map; x must be scattered through it before entering the kernels
     # (ops.pallas_backend.prep_x).  None = identity.
     col_perm: Optional[np.ndarray] = None
+    # Square matrices are permuted SYMMETRICALLY (row_perm is col_perm):
+    # the kernels emit y in the permuted row order and callers decode with
+    # y_original = y[row_perm] (one host gather, same contract as the
+    # reference's order_rid, dasp_f64.h:959-976).  None = original order.
+    row_perm: Optional[np.ndarray] = None
 
     def check(self) -> None:
         """Structural invariants: segments tile their streams exactly, long
@@ -178,6 +183,11 @@ class WPlan:
             assert np.array_equal(np.sort(self.col_perm),
                                   np.arange(self.n_cols)), \
                 "col_perm must be a permutation"
+        if self.row_perm is not None:
+            assert self.col_perm is not None and \
+                self.row_perm is self.col_perm or np.array_equal(
+                    self.row_perm, self.col_perm), \
+                "row_perm is only produced by the symmetric relabel"
 
 
 # ---------------------------------------------------------------------------
@@ -362,16 +372,31 @@ def _choose_w8(slens: np.ndarray, threshold: float) -> int:
 
 
 def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
-                p_cap: int = 32) -> WPlan:
+                p_cap: int = 32, sym_ok: bool = True) -> WPlan:
+    # sym_ok=False forbids the symmetric relabel even for square inputs
+    # (column-slab sub-matrices must all keep original row order so their
+    # partial y's sum).
     # p_cap <= 32 keeps slot metadata in 15 bits (round<<10|q<<7|lam), so
     # the index stream ships as int16 — 25% less HBM traffic at fp32.
     csr.check()
-    col_perm = None
-    if config.relabel == "first_touch" and csr.nnz:
-        from .relabel import first_touch_perm, apply_col_perm
-        col_perm = first_touch_perm(csr, config.relabel_hub_deg)
-        csr = apply_col_perm(csr, col_perm)
-        col_perm = col_perm.astype(np.int32)
+    col_perm = row_perm = None
+    if config.relabel != "off" and csr.nnz:
+        from .relabel import (apply_col_perm, apply_sym_perm,
+                              choose_relabel, first_touch_perm)
+        # Square matrices get the SYMMETRIC permutation (rows relabeled by
+        # the same map) so x and y share one index space and on-device
+        # iteration (CG/PageRank) feeds y straight back into x.
+        sym = sym_ok and csr.n_rows == csr.n_cols
+        if config.relabel == "auto":
+            col_perm = choose_relabel(csr, config.relabel_hub_deg,
+                                      symmetric=sym)
+        else:
+            col_perm = first_touch_perm(csr, config.relabel_hub_deg)
+        if col_perm is not None:
+            csr = (apply_sym_perm(csr, col_perm) if sym
+                   else apply_col_perm(csr, col_perm))
+            col_perm = col_perm.astype(np.int32)
+            row_perm = col_perm if sym else None
     n = csr.n_rows
     lens = csr.row_lengths.astype(np.int64)
     rpt = csr.row_ptr.astype(np.int64)
@@ -1386,7 +1411,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         out_src=out_src.astype(np.int32),
         out_perm=out_perm.reshape(B * K_SOURCES, LANES).astype(np.int32),
         n_y2_rows=int(n_y2_rows), overflow=overflow,
-        census=census, stats=stats, col_perm=col_perm)
+        census=census, stats=stats, col_perm=col_perm, row_perm=row_perm)
     plan.check()
     return plan
 
@@ -1614,7 +1639,7 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
             longs=final_longs, n_long=n_long_canon,
             out_src=new_src, out_perm=new_perm, n_y2_rows=n_y2_new,
             overflow=p.overflow, census=p.census, stats=p.stats,
-            col_perm=p.col_perm))
+            col_perm=p.col_perm, row_perm=p.row_perm))
     return out_plans
 
 
@@ -1649,6 +1674,7 @@ def save_wplan(plan: WPlan, path) -> None:
     arrays["out_perm"] = plan.out_perm
     if plan.col_perm is not None:
         arrays["col_perm"] = plan.col_perm
+    meta["sym_perm"] = plan.row_perm is not None
     if plan.overflow is not None:
         arrays["ovf_rpt"] = plan.overflow.row_ptr
         arrays["ovf_cid"] = plan.overflow.col_idx
@@ -1683,5 +1709,7 @@ def load_wplan(path) -> WPlan:
         n_y2_rows=meta["n_y2_rows"], overflow=overflow,
         census=meta["census"], stats=meta["stats"],
         col_perm=z["col_perm"] if "col_perm" in z else None)
+    if meta.get("sym_perm"):
+        plan.row_perm = plan.col_perm
     plan.check()
     return plan

@@ -67,7 +67,12 @@ def cg_solve(op, b: np.ndarray, tol: float = 1e-6, maxiter: int = 500):
         x, r, _, rs, it = jax.lax.while_loop(cond, body, state)
         return x, jnp.sqrt(rs), it
 
-    return solve(jnp.asarray(b, dtype=jnp.float32))
+    # run in the operator's internal index space (symmetric relabel keeps
+    # x and y in one space; CG's dot products are permutation-invariant),
+    # encode b on entry / decode x on exit
+    b_int = op.perm_in(np.asarray(b, dtype=np.float32))
+    x, res, it = solve(jnp.asarray(b_int))
+    return op.perm_out(np.asarray(x)), res, it
 
 
 def main():

@@ -56,7 +56,10 @@ def pagerank(op, damping: float = 0.85, iters: int = 50):
         r2d = jax.lax.fori_loop(0, iters, body, r0)
         return spmv_fn(meta, arrays, r2d) * damping + teleport
 
-    return np.asarray(run(arrays))[:n]
+    # the on-device loop runs in the operator's internal index space (a
+    # symmetric relabel keeps x and y in ONE space, so y feeds straight
+    # back); decode to original node order only at the exit
+    return op.perm_out(np.asarray(run(arrays))[:n])
 
 
 def main():

@@ -14,8 +14,13 @@ def _emulate(plan, x):
     from dasp_tpu.wplan import LONG_PACK, K_SOURCES
     n = x.size
     xpad = np.zeros(plan.s_rows * LANES)
-    xpad[:n] = x
+    if plan.col_perm is not None:
+        xpad[plan.col_perm] = x
+    else:
+        xpad[:n] = x
     x2d = xpad.reshape(plan.s_rows, LANES)
+    decode = (lambda y: y[plan.row_perm]) if plan.row_perm is not None \
+        else (lambda y: y)
 
     partials = []
     vreg_totals_all = []
@@ -81,8 +86,9 @@ def _emulate(plan, x):
             out[b] += y2[src][plan.out_perm[b * K_SOURCES + k]]
     y = out.reshape(-1)[:plan.n_rows]
     if plan.overflow is not None:
-        y = y + plan.overflow.spmv(x)
-    return y
+        # overflow lives in the internal (possibly relabeled) spaces
+        y = y + plan.overflow.spmv(xpad[:plan.n_cols])
+    return decode(y)
 
 
 CASES = {
@@ -133,13 +139,15 @@ def test_length_buckets_activate(rng):
 def test_dyn_round_classes(rng):
     """Uniform scattered long rows must produce dynamic (P > 32) streams
     and still match golden (exercises _make_colsum_dyn)."""
+    from dasp_tpu.config import DaspConfig
+    cfg = DaspConfig(relabel="off")   # auto would collapse the windows
     csr = CASES["scattered_long"](rng)
-    plan = build_wplan(csr)
+    plan = build_wplan(csr, cfg)
     assert any(s.P > 32 for s in plan.streams), \
         "expected dynamic round classes for scattered long rows"
     from dasp_tpu.ops.pallas_backend import PallasSpMV
     for dtype, tol in (("f32", 2e-5), ("f64", 1e-10)):
-        op = PallasSpMV(csr, dtype=dtype)
+        op = PallasSpMV(csr, dtype=dtype, config=cfg)
         x = rng.standard_normal(csr.n_cols)
         y = op(x)
         golden = csr.spmv(x)
@@ -334,11 +342,9 @@ def test_relabel_save_load_roundtrip(tmp_path, rng):
     save_wplan(plan, p)
     plan2 = load_wplan(p)
     np.testing.assert_array_equal(plan.col_perm, plan2.col_perm)
-    xr = np.zeros(csr.n_cols)
     x = rng.standard_normal(csr.n_cols)
-    xr[plan.col_perm] = x
-    y1 = _emulate(plan, xr)
-    y2 = _emulate(plan2, xr)
+    y1 = _emulate(plan, x)
+    y2 = _emulate(plan2, x)
     np.testing.assert_allclose(y1, y2, rtol=0, atol=0)
 
 
@@ -357,3 +363,56 @@ def test_relabel_f64_matmat(rng):
     G = np.stack([csr.spmv(X[:, j]) for j in range(3)], axis=1)
     scale = np.maximum(np.abs(G), 1.0)
     np.testing.assert_allclose(Y / scale, G / scale, rtol=2e-5, atol=2e-5)
+
+
+def test_relabel_auto_policy(rng):
+    """auto must relabel scattered power-law columns and leave banded/FEM
+    matrices alone (measured: relabel is +10-16% on the former and a large
+    regression on the latter)."""
+    from dasp_tpu.config import DaspConfig
+    cfg = DaspConfig(relabel="auto")
+    fem = CASES["fem"](rng)
+    assert build_wplan(fem, cfg).col_perm is None
+    pl = CASES["powerlaw_deg"](rng)
+    plan = build_wplan(pl, cfg)
+    # decision must match the spread criterion
+    from dasp_tpu.relabel import choose_relabel
+    want = choose_relabel(pl)
+    assert (plan.col_perm is None) == (want is None)
+    # either way the operator stays transparent
+    from dasp_tpu.ops.pallas_backend import PallasSpMV
+    op = PallasSpMV(pl, dtype="f32", config=cfg)
+    x = rng.standard_normal(pl.n_cols)
+    golden = pl.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(op(x) / scale, golden / scale,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_relabel_symmetric_square(rng):
+    """Square matrices relabel SYMMETRICALLY: x and y share one internal
+    index space (on-device iteration can feed y back into x), and the
+    operator decodes y to original order at the exit."""
+    from dasp_tpu.config import DaspConfig
+    from dasp_tpu.ops.pallas_backend import PallasSpMV
+    csr = powerlaw_like(1500, 1.7, 1500, rng, col_alpha=1.6)
+    plan = build_wplan(csr, DaspConfig(relabel="first_touch"))
+    assert plan.row_perm is not None
+    op = PallasSpMV(csr, dtype="f32", config=DaspConfig(relabel="first_touch"))
+    x = rng.standard_normal(csr.n_cols)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(op(x) / scale, golden / scale,
+                               rtol=2e-5, atol=2e-5)
+    # perm_in / perm_out are inverse maps between the two spaces
+    v = rng.standard_normal(csr.n_cols)
+    np.testing.assert_array_equal(op.perm_out(op.perm_in(v)), v)
+    # x and y share ONE internal space: the raw device call's output,
+    # encoded back, equals golden (i.e. y_dev could feed straight back
+    # into the next iteration's x without any reordering)
+    y_dev = np.asarray(op.device_call(op._prep_x(x)))
+    y_int = np.empty_like(golden)
+    y_int[op.plan.row_perm] = golden
+    si = np.maximum(np.abs(y_int), 1.0)
+    np.testing.assert_allclose(y_dev / si, y_int / si,
+                               rtol=2e-5, atol=2e-5)

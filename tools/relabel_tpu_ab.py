@@ -25,7 +25,8 @@ iters = int(sys.argv[3]) if len(sys.argv) > 3 else 300
 
 rng = np.random.default_rng(0 + abs(hash(name)) % 1000)
 csr = SUITE[name](rng)
-cfg = DaspConfig(relabel="first_touch" if arm == "on" else "off")
+cfg = DaspConfig(relabel={"on": "first_touch", "off": "off",
+                          "auto": "auto"}[arm])
 t0 = time.time()
 op = PallasSpMV(csr, dtype="f32", config=cfg)
 print(f"[{name} relabel={arm}] pack {time.time()-t0:.1f}s", flush=True)
