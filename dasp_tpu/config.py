@@ -64,7 +64,9 @@ class DaspConfig:
     pair_13: bool = True
     pair_13_min_slots: int = 128
     relabel: str = "auto"
-    relabel_hub_deg: int = 8
+    # 4 won the pack-cost sweep on wikitalk-like/square power-law
+    # (P-weighted vreg cost ratios 0.709-0.773 vs 0.746-0.788 at 8)
+    relabel_hub_deg: int = 4
 
     def __post_init__(self):
         if self.block_longest < 5:

@@ -338,30 +338,31 @@ def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool,
     )
 
 
-def _make_outgather_dd(B: int, R2: int, interpret: bool):
+def _make_outgather_dd(B: int, R2: int, K: int, interpret: bool):
     """dd variant of the output assembly: gathers hi/lo pairs and combines
     the K sources with compensated adds."""
     from . import dd
 
     def kernel(src_ref, perm_ref, yh_ref, yl_ref, oh_ref, ol_ref):
         def body(u, _):
+            rows = pl.ds(u * UNROLL, UNROLL)
             ah = al = None
-            for s in range(K_SOURCES):
+            for s in range(K):
                 rh = [yh_ref[pl.ds(src_ref[u * UNROLL + k, s], 1), :]
                       for k in range(UNROLL)]
                 rl = [yl_ref[pl.ds(src_ref[u * UNROLL + k, s], 1), :]
                       for k in range(UNROLL)]
                 sh = jnp.concatenate(rh, 0)
                 sl = jnp.concatenate(rl, 0)
-                pr = perm_ref[s, pl.ds(u * UNROLL, UNROLL), :]
+                pr = perm_ref[s, rows, :]
                 gh = jnp.take_along_axis(sh, pr, axis=1)
                 gl = jnp.take_along_axis(sl, pr, axis=1)
                 if ah is None:
                     ah, al = gh, gl
                 else:
                     ah, al = dd.add(ah, al, gh, gl)
-            oh_ref[pl.ds(u * UNROLL, UNROLL), :] = ah
-            ol_ref[pl.ds(u * UNROLL, UNROLL), :] = al
+            oh_ref[rows, :] = ah
+            ol_ref[rows, :] = al
             return 0
 
         jax.lax.fori_loop(0, OB // UNROLL, body, 0)
@@ -370,9 +371,9 @@ def _make_outgather_dd(B: int, R2: int, interpret: bool):
         kernel,
         grid=(B // OB,),
         in_specs=[
-            pl.BlockSpec((OB, K_SOURCES), lambda t: (t, 0),
+            pl.BlockSpec((OB, K), lambda t: (t, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((K_SOURCES, OB, LANES), lambda t: (0, t, 0),
+            pl.BlockSpec((K, OB, LANES), lambda t: (0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R2, LANES), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -389,24 +390,30 @@ def _make_outgather_dd(B: int, R2: int, interpret: bool):
     )
 
 
-def _make_outgather(B: int, R2: int, interpret: bool):
+def _make_outgather(B: int, R2: int, K: int, interpret: bool):
     """(src (B,K) SMEM, perm (K,B,128), y2 (R2,128)) -> y blocks (B,128).
 
     out[b] = sum_k y2[src[b,k]][perm[k,b]]; unused sources point at the
     all-zero row R2-1.  Works on (8,128) stacks because Mosaic's
-    dynamic_gather needs full-vreg operands."""
+    dynamic_gather needs full-vreg operands.  K is the PLAN-WIDE max of
+    used slots (slots are claimed densely per block): FEM/banded plans
+    use only 2-3 of the K_SOURCES=7 table columns, and trimming the
+    unroll statically also cuts the per-step perm DMA by the same factor.
+    (A per-32-block-group dynamic round loop was tried and REVERTED:
+    Mosaic serializes the loop body, -29% on scircuit.)"""
 
     def kernel(src_ref, perm_ref, y2_ref, out_ref):
         def body(u, _):
+            rows = pl.ds(u * UNROLL, UNROLL)
             acc = None
-            for s in range(K_SOURCES):
-                rows = [y2_ref[pl.ds(src_ref[u * UNROLL + k, s], 1), :]
-                        for k in range(UNROLL)]
-                stack = jnp.concatenate(rows, 0)             # (8,128)
-                pr = perm_ref[s, pl.ds(u * UNROLL, UNROLL), :]
+            for s in range(K):
+                stack = jnp.concatenate(
+                    [y2_ref[pl.ds(src_ref[u * UNROLL + k, s], 1), :]
+                     for k in range(UNROLL)], 0)
+                pr = perm_ref[s, rows, :]
                 g = jnp.take_along_axis(stack, pr, axis=1)
                 acc = g if acc is None else acc + g
-            out_ref[pl.ds(u * UNROLL, UNROLL), :] = acc
+            out_ref[rows, :] = acc
             return 0
 
         jax.lax.fori_loop(0, OB // UNROLL, body, 0)
@@ -415,9 +422,9 @@ def _make_outgather(B: int, R2: int, interpret: bool):
         kernel,
         grid=(B // OB,),
         in_specs=[
-            pl.BlockSpec((OB, K_SOURCES), lambda t: (t, 0),
+            pl.BlockSpec((OB, K), lambda t: (t, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((K_SOURCES, OB, LANES), lambda t: (0, t, 0),
+            pl.BlockSpec((K, OB, LANES), lambda t: (0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R2, LANES), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -449,10 +456,13 @@ class WMeta(NamedTuple):
     B_pad: int
     overflow_meta: Optional[object]
     interpret: bool
+    k_used: int = K_SOURCES
 
 
 def plan_to_arrays(plan, dtype: str = "f32",
-                   include_overflow: bool = True):
+                   include_overflow: bool = True, k_sources=None):
+    # k_sources overrides the used-slot trim (multi-chip stacking needs
+    # one shared K across chips)
     from ..sparse import CSRMatrix
     if isinstance(plan, CSRMatrix):
         plan = build_wplan(plan)
@@ -534,8 +544,15 @@ def plan_to_arrays(plan, dtype: str = "f32",
     perm = np.zeros((K_SOURCES, B_pad, LANES), dtype=np.int32)
     perm[:, :B] = plan.out_perm.reshape(B, K_SOURCES, LANES).transpose(
         1, 0, 2)
-    arrays["out_src"] = src
-    arrays["out_perm"] = perm
+    # Trim the source table to the plan-wide max of USED slots (slot k
+    # unused = src points at the zero row; slots are claimed densely).
+    # FEM/banded plans use 2-3 of the 7 columns: the outgather unroll and
+    # its per-step perm DMA shrink by the same factor.
+    used = src != Z_final
+    last = (used * (np.arange(K_SOURCES, dtype=np.int32) + 1)).max(axis=1)
+    k_used = k_sources if k_sources is not None else max(1, int(last.max()))
+    arrays["out_src"] = src[:, :k_used].copy()
+    arrays["out_perm"] = perm[:k_used].copy()
 
     # Conflict rejects were already re-routed into shared rem2/rem3 slices
     # by the packer; only the (tiny) final dregs run here as a plain COO
@@ -572,7 +589,8 @@ def plan_to_arrays(plan, dtype: str = "f32",
                  sell_segs=sell_segs, long_groups=tuple(long_groups),
                  n_long=plan.n_long, n_long_rows=n_long_rows,
                  n_y2_rows=plan.n_y2_rows, B_pad=B_pad,
-                 overflow_meta=overflow_meta, interpret=not _on_tpu())
+                 overflow_meta=overflow_meta, interpret=not _on_tpu(),
+                 k_used=k_used)
     return meta, arrays
 
 
@@ -641,7 +659,8 @@ def spmv_fn(meta: WMeta, arrays: Dict, x2d):
     y2_parts.append(jnp.zeros((1, LANES), jnp.float32))      # zero row
     y2 = jnp.concatenate(y2_parts, axis=0)
 
-    out = _make_outgather(meta.B_pad, y2.shape[0], meta.interpret)(
+    out = _make_outgather(meta.B_pad, y2.shape[0], meta.k_used,
+                          meta.interpret)(
         arrays["out_src"], arrays["out_perm"], y2)
     y = out.reshape(-1)[:meta.n_rows]
 
@@ -715,7 +734,8 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
     y2h = jnp.concatenate(y2h_parts, axis=0)
     y2l = jnp.concatenate(y2l_parts, axis=0)
 
-    oh, ol = _make_outgather_dd(meta.B_pad, y2h.shape[0], meta.interpret)(
+    oh, ol = _make_outgather_dd(meta.B_pad, y2h.shape[0], meta.k_used,
+                                meta.interpret)(
         arrays["out_src"], arrays["out_perm"], y2h, y2l)
     yh = oh.reshape(-1)[:meta.n_rows]
     yl = ol.reshape(-1)[:meta.n_rows]

@@ -272,7 +272,17 @@ class WMultiChipSpMV:
                  for s, e in self.slabs]
         self.overflows = [p.overflow for p in plans]
         plans = harmonize_wplans(plans)
-        lowered = [pb.plan_to_arrays(p, dtype, include_overflow=False)
+        # one shared outgather-slot trim across chips (stacking needs
+        # identical metas)
+        from .wplan import K_SOURCES
+        k_shared = 1
+        for p in plans:
+            used = p.out_src < p.n_y2_rows
+            if used.any():
+                k_shared = max(k_shared, int(
+                    (used * (np.arange(K_SOURCES) + 1)).max()))
+        lowered = [pb.plan_to_arrays(p, dtype, include_overflow=False,
+                                     k_sources=k_shared)
                    for p in plans]
         # The long gather-sum multiplicity (how many round-class streams one
         # long row's vregs split into) may differ per chip; pad every chip's
