@@ -31,6 +31,10 @@ from ..wplan import (WPlan, SUB, LANES, LONG_PACK, K_SOURCES, build_wplan)
 from . import xla_backend
 
 BV = 128         # vregs per colsum grid step
+BV_SMALL = 32    # small streams (< BV_SMALL_MAX vregs) pipeline poorly at
+                 # 2-3 grid steps; finer blocks recover ~25% (measured
+                 # NV=256: 7.9us @ BV128 -> 6.0us @ BV32)
+BV_SMALL_MAX = 384
 UNROLL = 32      # vregs per inner unrolled group (tile sweep on v5e:
                  # 32/128 gives 68 GF on cop20k vs 48 GF at 8/64)
 UNROLL_INTERPRET = 8   # smaller unrolled bodies keep interpret-mode
@@ -64,7 +68,8 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool,
     lane (short-row packing, the TPU shape of the reference's
     short1/22/34 strategies, ``dasp_f64.h:283-483``)."""
     UNROLL = UNROLL_INTERPRET if interpret else globals()["UNROLL"]
-    BV = BV_INTERPRET if interpret else globals()["BV"]
+    BV = BV_INTERPRET if interpret else (
+        BV_SMALL if NV <= BV_SMALL_MAX else globals()["BV"])
     R = SUB // stride
 
     def kernel(win_ref, vals_ref, idx_ref, x_ref, out_ref):
@@ -256,7 +261,8 @@ def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool,
     ``main_f64.cu`` / ``dasp_f64.h``; see ops/dd.py).  ``stride`` as in
     _make_colsum: per-level sublane sums for strided (short-row) slices."""
     UNROLL = UNROLL_INTERPRET if interpret else globals()["UNROLL"]
-    BV = BV_INTERPRET if interpret else globals()["BV"]
+    BV = BV_INTERPRET if interpret else (
+        BV_SMALL if NV <= BV_SMALL_MAX else globals()["BV"])
     R = SUB // stride
     from . import dd
 
@@ -477,7 +483,14 @@ def plan_to_arrays(plan, dtype: str = "f32",
     interp = not _on_tpu()
     for s in plan.streams:
         nv = s.n_vregs
-        blk = (BV_INTERPRET if interp else BV) if s.P <= 32 else BV_DYN
+        if s.P > 32:
+            blk = BV_DYN
+        elif interp:
+            blk = BV_INTERPRET
+        else:
+            # match the kernels' small-stream block choice (nv_pad must be
+            # a multiple of the grid block)
+            blk = BV_SMALL if max(s.n_vregs, 1) <= BV_SMALL_MAX else BV
         nv_pad = -(-max(nv, 1) // blk) * blk
         if s.P <= 32:
             # round<<10|q<<7|lam with <=32 rounds fits int16: 25% less
@@ -631,9 +644,14 @@ def spmv_fn(meta: WMeta, arrays: Dict, x2d):
 
     y2_parts = []
     for stream, off, n_slices, w8, stride in meta.sell_segs:
+        # the stream's kernel may run at a finer stride than this
+        # segment's logical one (cross-stride stream merge): every F
+        # consecutive partial rows form one logical level
+        R_st = SUB // meta.streams[stream][1]
         R = SUB // stride
-        p = partials[stream][off * R:(off + n_slices * w8) * R]
-        y2_parts.append(p.reshape(n_slices, w8, R, LANES).sum(1)
+        F = R_st // R
+        p = partials[stream][off * R_st:(off + n_slices * w8) * R_st]
+        y2_parts.append(p.reshape(n_slices, w8, R, F, LANES).sum((1, 3))
                         .reshape(n_slices * R, LANES))
 
     if meta.n_long:
@@ -641,7 +659,8 @@ def spmv_fn(meta: WMeta, arrays: Dict, x2d):
         souts = []
         for stream, li in meta.long_groups:
             if vreg_totals[stream] is None:
-                t = partials[stream].sum(axis=1)
+                R_st = SUB // meta.streams[stream][1]
+                t = partials[stream].reshape(-1, R_st * LANES).sum(axis=1)
                 vreg_totals[stream] = jnp.concatenate(
                     [t, jnp.zeros(1, t.dtype)])
             idxm = arrays["long_idx"][li]
@@ -689,12 +708,21 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
 
     y2h_parts, y2l_parts = [], []
     for stream, off, n_slices, w8, stride in meta.sell_segs:
+        R_st = SUB // meta.streams[stream][1]
         R = SUB // stride
-        ph = partials[stream][0][off * R:(off + n_slices * w8) * R]
-        plo = partials[stream][1][off * R:(off + n_slices * w8) * R]
-        sh, sl = dd.sum_axis(ph.reshape(n_slices, w8, R * LANES),
-                             plo.reshape(n_slices, w8, R * LANES), 1,
-                             safe=True)
+        F = R_st // R
+        ph = partials[stream][0][off * R_st:(off + n_slices * w8) * R_st]
+        plo = partials[stream][1][off * R_st:(off + n_slices * w8) * R_st]
+        shp = (n_slices, w8, R, F * LANES)
+        sh, sl = ph.reshape(shp), plo.reshape(shp)
+        if F > 1:
+            sh = sh.reshape(n_slices, w8, R, F, LANES)
+            sl = sl.reshape(n_slices, w8, R, F, LANES)
+            sh, sl = dd.sum_axis(sh, sl, 3, safe=True)
+        else:
+            sh = sh.reshape(n_slices, w8, R, LANES)
+            sl = sl.reshape(n_slices, w8, R, LANES)
+        sh, sl = dd.sum_axis(sh, sl, 1, safe=True)
         y2h_parts.append(sh.reshape(n_slices * R, LANES))
         y2l_parts.append(sl.reshape(n_slices * R, LANES))
 
@@ -703,8 +731,11 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
         souts_h, souts_l = [], []
         for stream, li in meta.long_groups:
             if vreg_totals[stream] is None:
-                th, tl = dd.sum_axis(partials[stream][0],
-                                     partials[stream][1], 1, safe=True)
+                R_st = SUB // meta.streams[stream][1]
+                th, tl = dd.sum_axis(
+                    partials[stream][0].reshape(-1, R_st * LANES),
+                    partials[stream][1].reshape(-1, R_st * LANES), 1,
+                    safe=True)
                 vreg_totals[stream] = (
                     jnp.concatenate([th, jnp.zeros(1, th.dtype)]),
                     jnp.concatenate([tl, jnp.zeros(1, tl.dtype)]))

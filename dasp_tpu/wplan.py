@@ -1182,41 +1182,73 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             packets.append(_Packet("long", len(tiles), cls, tiles, row))
 
     # ---- assembly --------------------------------------------------------
-    # Merge small round-classes upward: each stream is one kernel launch
-    # with fixed overhead, so a class worth <8% of the vregs (or <256)
-    # rides along with the next class (its vregs just skip unused rounds
-    # via per-slot round tags; the extra rounds cost less than a launch).
+    # Merge small streams: each stream is one kernel launch whose fixed
+    # cost (pipeline ramp on a 2-3-step grid) measures ~6 us = the
+    # streaming time of ~320 vregs.  A small class therefore rides along
+    # with a bigger one when the merge tax -- extra masked rounds for the
+    # lower-P side (measured 1.8 cycles/vreg/round ~ 0.17 vreg-equivalents)
+    # and extra per-level output rows when strides mix (the stream runs at
+    # the MINIMUM stride; coarser-stride members' level sums are rebuilt
+    # in XLA glue by pairwise row adds, costing only output bandwidth,
+    # ~0.083 vreg-equivalents per extra row) -- stays under that fixed
+    # cost.  Never merges across the static/dynamic kernel boundary.
+    # FIXED_EQ started at 320 (the standalone ~6us fixed cost of a small
+    # stream) but XLA overlaps adjacent colsum launches, so the realized
+    # saving is smaller: 320 merged a P=6 class into scircuit's stride-2
+    # pool and LOST 6%; 120 keeps only the cheap merges (cop20k +6%).
+    ROUND_EQ, ROW_EQ, FIXED_EQ = 0.17, 0.083, 120.0
     cls_vregs: Dict[Tuple[int, int], int] = {}    # (cls, stride) -> vregs
-    for p in packets:
-        key = (p.cls, p.stride)
-        cls_vregs[key] = cls_vregs.get(key, 0) + p.w8
-    # merge within one stride family only (the kernel's reduction stride is
-    # a compile-time property of the stream)
-    order_cls = sorted(cls_vregs, key=lambda k: (k[1], k[0]))
-    total_v = sum(cls_vregs.values())
-    merged: Dict[Tuple[int, int], Tuple[int, int]] = {}
-    for i, c in enumerate(order_cls[:-1]):
-        tgt = order_cls[i + 1]
-        if tgt[1] != c[1]:
-            continue
-        # never merge across the static/dynamic kernel boundary: pulling a
-        # statically-unrolled class into a dynamic-round stream would
-        # serialize its (much larger) vreg mass
-        if (c[0] <= P_CLASSES[-1]) != (tgt[0] <= P_CLASSES[-1]):
-            continue
-        if cls_vregs[c] < max(256, 0.08 * total_v):
-            merged[c] = tgt
-            cls_vregs[tgt] += cls_vregs[c]
-            cls_vregs[c] = 0
-    if merged:
-        def resolve(c):
-            while c in merged:
-                c = merged[c]
-            return c
-        for p in packets:
-            p.cls = resolve((p.cls, p.stride))[0]
+    for q in packets:
+        key = (q.cls, q.stride)
+        cls_vregs[key] = cls_vregs.get(key, 0) + q.w8
+    final_key: Dict[Tuple[int, int], Tuple[int, int]] = {
+        k: k for k in cls_vregs}
 
-    key_list = sorted({(p.cls, p.stride) for p in packets})
+    def _members(root):
+        return [k for k, v in final_key.items() if v == root]
+
+    changed = True
+    while changed:
+        changed = False
+        roots = sorted({v for v in final_key.values()},
+                       key=lambda k: (cls_vregs[k], k))
+        for c in roots:
+            vc = cls_vregs[c]
+            best = None
+            for t in roots:
+                if t == c or cls_vregs[t] < vc:
+                    continue
+                if (c[0] <= P_CLASSES[-1]) != (t[0] <= P_CLASSES[-1]):
+                    continue
+                P_new = max(c[0], t[0])
+                s_new = min(c[1], t[1])
+                cost = (vc * (P_new - c[0]) * ROUND_EQ
+                        + cls_vregs[t] * (P_new - t[0]) * ROUND_EQ
+                        + vc * (SUB // s_new - SUB // c[1]) * ROW_EQ
+                        + cls_vregs[t] * (SUB // s_new - SUB // t[1])
+                        * ROW_EQ)
+                if cost < FIXED_EQ and (best is None or cost < best[0]):
+                    best = (cost, t)
+            if best is not None:
+                t = best[1]
+                new_root = (max(c[0], t[0]), min(c[1], t[1]))
+                for k in _members(c) + _members(t):
+                    final_key[k] = new_root
+                if new_root not in cls_vregs:
+                    cls_vregs[new_root] = 0
+                    final_key.setdefault(new_root, new_root)
+                cls_vregs[new_root] = (0 if new_root in (c, t) else
+                                       cls_vregs.get(new_root, 0)) \
+                    + cls_vregs[c] + cls_vregs[t]
+                if c != new_root:
+                    cls_vregs[c] = 0
+                if t != new_root:
+                    cls_vregs[t] = 0
+                final_key[new_root] = new_root
+                changed = True
+                break
+
+    key_list = sorted({final_key[(p.cls, p.stride)] for p in packets})
     streams: List[WStream] = []
     sell_segments: List[SellSegment] = []
     long_groups: List[LongGroup] = []
@@ -1232,23 +1264,26 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     for key in key_list:
         cls, stride = key
         stream_idx[key] = len(streams)
-        mine = [p for p in packets if (p.cls, p.stride) == key]
+        mine = [p for p in packets
+                if final_key[(p.cls, p.stride)] == key]
         kind_rank = {"sell": 0, "short0": 1, "short1": 2, "short2": 3,
                      "short3": 4, "rem2": 5, "rem3": 6, "long": 7}
-        mine.sort(key=lambda p: (kind_rank[p.kind], p.w8, p.block))
+        mine.sort(key=lambda p: (kind_rank[p.kind], p.stride, p.w8,
+                                 p.block))
         vals_parts, idx_parts, win_parts = [], [], []
         vreg_cursor = 0
         i = 0
         while i < len(mine) and mine[i].kind != "long":
             j = i
             while (j < len(mine) and mine[j].kind == mine[i].kind
-                   and mine[j].w8 == mine[i].w8):
+                   and mine[j].w8 == mine[i].w8
+                   and mine[j].stride == mine[i].stride):
                 j += 1
             run = mine[i:j]
             sell_segments.append(SellSegment(
                 stream=stream_idx[key], vreg_offset=vreg_cursor,
                 n_slices=len(run), w8=run[0].w8, out_row=out_row,
-                stride=stride))
+                stride=run[0].stride))
             for p in run:
                 for vt, it, wl in p.tiles:
                     vals_parts.append(vt)
@@ -1443,12 +1478,13 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
     # ordinal among same-w8 segments (kinds produce at most 3 runs per w8).
     def seg_keys(plan):
         keys = []
-        per_stream_count: Dict[Tuple[int, int], int] = {}
+        per_stream_count: Dict[Tuple[int, int, int], int] = {}
         for seg in plan.sell:
             s = plan.streams[seg.stream]
-            k = per_stream_count.get((seg.stream, seg.w8), 0)
-            per_stream_count[(seg.stream, seg.w8)] = k + 1
-            keys.append((s.P, s.stride, seg.w8, k))
+            ck = (seg.stream, seg.w8, seg.stride)
+            k = per_stream_count.get(ck, 0)
+            per_stream_count[ck] = k + 1
+            keys.append((s.P, s.stride, seg.w8, seg.stride, k))
         return keys
 
     all_keys = sorted({(s.P, s.stride) for p in plans for s in p.streams})
@@ -1492,13 +1528,13 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
 
         for skey in all_keys:
             P, stride = skey
-            rps = SUB // stride              # y2 rows per slice
             vals_parts, idx_parts, wins_parts, cnt_parts = [], [], [], []
             vreg_cursor = 0
             si = stream_of_key.get(skey)
             s = p.streams[si] if si is not None else None
             for key in [k for k in canon_keys if k[:2] == skey]:
-                _, _, w8, _ = key
+                _, _, w8, seg_stride, _ = key
+                rps = SUB // seg_stride          # y2 rows per slice
                 n_max = seg_sig[key]
                 seg = by_key.get(key)
                 have = seg.n_slices if seg is not None else 0
@@ -1526,7 +1562,7 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
                 new_sell.append(SellSegment(
                     stream=len(new_streams), vreg_offset=vreg_cursor,
                     n_slices=n_max, w8=w8, out_row=new_out_row,
-                    stride=stride))
+                    stride=seg_stride))
                 new_out_row += n_max * rps
                 vreg_cursor += n_max * w8
 

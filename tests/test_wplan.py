@@ -52,12 +52,14 @@ def _emulate(plan, x):
 
     y2_parts = []
     for seg in plan.sell:
+        R_st = SUB // plan.streams[seg.stream].stride
         R = SUB // seg.stride
-        p = partials[seg.stream][seg.vreg_offset * R:
+        F = R_st // R
+        p = partials[seg.stream][seg.vreg_offset * R_st:
                                  (seg.vreg_offset
-                                  + seg.n_slices * seg.w8) * R]
-        y2_parts.append(p.reshape(seg.n_slices, seg.w8, R, LANES).sum(1)
-                        .reshape(seg.n_slices * R, LANES))
+                                  + seg.n_slices * seg.w8) * R_st]
+        y2_parts.append(p.reshape(seg.n_slices, seg.w8, R, F, LANES)
+                        .sum((1, 3)).reshape(seg.n_slices * R, LANES))
     if plan.n_long:
         souts, spos = [], []
         for lg in plan.longs:
@@ -122,7 +124,8 @@ def test_length_buckets_activate(rng):
     nnz rows) and the result must match golden through the emulator."""
     csr = CASES["circuit"](rng)
     plan = build_wplan(csr)
-    strides = {s.stride for s in plan.streams}
+    # logical (segment) strides: streams may merge to the min stride
+    strides = {seg.stride for seg in plan.sell}
     assert 2 in strides and 4 in strides, f"short buckets inactive: {strides}"
     # med bucket slices show up as extra y2 sources on out_src: at least
     # some blocks must use more than 3 sources (primary+2 shorts)
