@@ -1431,12 +1431,22 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         "bucket_slices": [int(ns) for ns in n_short_slices],
         "rem_slices": [int(ns) for ns in n_rem_slices],
         "n_frag": int(len(frags)),
+        # nnz per category (reference CSV fields, dasp_f64.h:1440)
+        "nnz_short": int(lens[(lens >= 1) & (lens <= 4)].sum()),
+        "nnz_long": int(lens[is_long].sum()),
     }
     stats = {
         "fill0_nnz_total": float(padded),
         "rate_fill0": float((padded - csr.nnz) / csr.nnz) if csr.nnz else 0.0,
         "overflow_frac": float(census["n_overflow"] / csr.nnz)
         if csr.nnz else 0.0,
+        # the reference's irregular-tail CSR analog: elements re-routed
+        # through shared rem slices, long-style fragments, or COO dregs
+        "nnz_irreg": float(
+            sum(int(np.count_nonzero(t[0])) for q in packets
+                if q.kind in ("rem2", "rem3") for t in q.tiles)
+            + sum(v.size for _, v in frags.values())
+            + (int(orows.size) if ovf_r else 0)),
     }
     plan = WPlan(
         n_rows=n, n_cols=csr.n_cols, nnz=csr.nnz, config=config,
