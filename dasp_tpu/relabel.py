@@ -63,17 +63,40 @@ def window_spread(csr: CSRMatrix, col_perm=None,
     return _spread(rows >> 7, cols, csr.n_cols)
 
 
+def _distinct_pairs(blk: np.ndarray, wins: np.ndarray, W: int) -> int:
+    key = blk * W + wins
+    B = int(blk.max()) + 1 if blk.size else 1
+    if B * W <= (1 << 28):
+        seen = np.zeros(B * W, dtype=bool)
+        seen[key] = True
+        return int(np.count_nonzero(seen))
+    return np.unique(key).size
+
+
 def choose_relabel(csr: CSRMatrix, hub_min_deg: int = 8,
-                   symmetric: bool = False):
+                   symmetric: bool = False, sample: int = 4_000_000):
     """The "auto" policy: return a column perm iff first-touch relabeling
     would reduce the window spread (measured A/B on v5e: spread down =>
     +10-16% GF on power-law graphs; spread up => large regressions on
-    banded/FEM, so never relabel those)."""
+    banded/FEM, so never relabel those).
+
+    Only the before/after comparison matters and both sides share the
+    same per-block element counts, so the denominator cancels: compare
+    distinct (block, window) pair counts directly, on a shared element
+    subsample for large matrices (the decision needs one bit)."""
     if csr.nnz == 0:
         return None
     perm = first_touch_perm(csr, hub_min_deg)
-    before = window_spread(csr)
-    after = window_spread(csr, perm, symmetric=symmetric)
+    rows = np.repeat(np.arange(csr.n_rows, dtype=np.int64),
+                     csr.row_lengths)
+    cols = csr.col_idx.astype(np.int64)
+    if rows.size > sample:
+        step = rows.size // sample
+        rows, cols = rows[::step], cols[::step]
+    W = (csr.n_cols >> 10) + 1
+    before = _distinct_pairs(rows >> 7, cols >> 10, W)
+    prows = perm[rows] if symmetric else rows
+    after = _distinct_pairs(prows >> 7, perm[cols] >> 10, W)
     return perm if after <= 0.98 * before else None
 
 
@@ -102,12 +125,24 @@ def first_touch_perm(csr: CSRMatrix, hub_min_deg: int = 8) -> np.ndarray:
     return newpos
 
 
+def _rowcol_order(rows: np.ndarray, cols: np.ndarray, n_rows: int,
+                  n_cols: int) -> np.ndarray:
+    """argsort by (row, col) — fused into one int64 key when it fits
+    (half the cost of a 2-key lexsort on multi-Mnnz inputs)."""
+    if n_rows * n_cols < (1 << 62):
+        # kind="stable" selects numpy's O(n) radix sort for ints
+        # (measured 3.0s vs 4.0s introsort on 18.5M keys)
+        return np.argsort(rows * np.int64(n_cols) + cols, kind="stable")
+    return np.lexsort((cols, rows))
+
+
 def apply_col_perm(csr: CSRMatrix, newpos: np.ndarray) -> CSRMatrix:
     """Relabel columns by ``newpos`` and re-sort columns within each row
     (the packer's usual CSR ordering contract)."""
     new_cid = newpos[csr.col_idx]
-    rows = np.repeat(np.arange(csr.n_rows), csr.row_lengths)
-    o = np.lexsort((new_cid, rows))
+    rows = np.repeat(np.arange(csr.n_rows, dtype=np.int64),
+                     csr.row_lengths)
+    o = _rowcol_order(rows, new_cid, csr.n_rows, csr.n_cols)
     return CSRMatrix(csr.n_rows, csr.n_cols, csr.row_ptr.copy(),
                      new_cid[o].astype(csr.col_idx.dtype),
                      csr.values[o].copy())
@@ -124,7 +159,7 @@ def apply_sym_perm(csr: CSRMatrix, newpos: np.ndarray) -> CSRMatrix:
                      csr.row_lengths)
     new_r = newpos[rows]
     new_c = newpos[csr.col_idx]
-    o = np.lexsort((new_c, new_r))
+    o = _rowcol_order(new_r, new_c, csr.n_rows, csr.n_cols)
     lens_new = np.zeros(csr.n_rows, dtype=np.int64)
     lens_new[newpos] = csr.row_lengths
     row_ptr = np.zeros(csr.n_rows + 1, dtype=np.int64)

@@ -379,6 +379,15 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # p_cap <= 32 keeps slot metadata in 15 bits (round<<10|q<<7|lam), so
     # the index stream ships as int16 — 25% less HBM traffic at fp32.
     csr.check()
+    import os as _os, time as _time
+    _t = [_time.perf_counter()]
+
+    def _pt(tag):
+        if _os.environ.get("DASP_PACK_TRACE"):
+            now = _time.perf_counter()
+            print(f"[pack] {tag:10s} +{now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
+
     col_perm = row_perm = None
     if config.relabel != "off" and csr.nnz:
         from .relabel import (apply_col_perm, apply_sym_perm,
@@ -412,6 +421,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     ovf_v: List[np.ndarray] = []
 
 
+    _pt('sell')
     # ---- per-block SELL slices + per-block remainder tails --------------
     # lane assignment per block: sell rows length-desc, pads last.
     block_lane_of_row = np.full(n, -1, dtype=np.int64)     # lane in slice b
@@ -685,6 +695,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             packets.append(_Packet("sell", w8, _p_class(p_used, p_cap),
                                    tiles, sid, stride=s))
 
+    _pt('buckets')
     # ---- length-bucketed shared slices ----------------------------------
     # Rows with 1..SHORT_MAX nnz pack into strided shared slices ({1,2}
     # at stride 2, {3,4} at stride 4): 8/stride row LEVELS share each lane
@@ -805,6 +816,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                     ovf_v.append(pt[3][om])
 
 
+    _pt('rem')
     # ---- rem2: re-route conflict rejects per block ----------------------
     # Elements the first pass could not route get a second, sparser slice
     # per block (fresh routing tables); remaining rejects go to the COO
@@ -1025,6 +1037,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             ovf_c.append(o_c)
             ovf_v.append(o_v)
 
+    _pt('long')
     # ---- long rows + fragments (original row order -> scalar order) -----
     long_rows = np.flatnonzero(is_long)
     scalar_owners = sorted(set(long_rows.tolist()) | set(frags))
@@ -1044,16 +1057,30 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     row_vals: List[np.ndarray] = []
     vreg_sizes: List[int] = []        # per vreg
     owners: List[int] = []            # per vreg
+    # per-row column sort is a no-op when the CSR is already column-sorted
+    # within rows (always true after a relabel; usual for .mtx inputs) —
+    # one vectorized check avoids 3-4k per-row argsorts on graph matrices
+    if csr.nnz > 1:
+        d = np.diff(cols_all)
+        brk = rpt[1:-1] - 1
+        m = np.ones(d.size, dtype=bool)
+        m[brk[(brk >= 0) & (brk < d.size)]] = False
+        rows_sorted = bool(np.all(d[m] >= 0))
+    else:
+        rows_sorted = True
     for row in scalar_owners:
         if is_long[row]:
             base, ln = int(rpt[row]), int(lens[row])
             colv = cols_all[base:base + ln]
             valv = vals_all[base:base + ln]
+            if not rows_sorted:
+                o = np.argsort(colv, kind="stable")
+                colv, valv = colv[o], valv[o]
         else:
             colv, valv = frags[row]
             ln = colv.size
-        o = np.argsort(colv, kind="stable")
-        colv, valv = colv[o], valv[o]
+            o = np.argsort(colv, kind="stable")
+            colv, valv = colv[o], valv[o]
         nv_base = -(-ln // VREG)
         w_of = colv // VREG
         # sequential dealing is optimal when each 1024-chunk already fits
@@ -1112,6 +1139,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # rejected elements just cost an extra sparsely-filled vreg instead of
     # falling to the COO fallback, whose XLA element-gather runs at
     # ~0.05 Gelem/s).  Depth 3 leaves only conflict-of-conflict dregs.
+    _pt('long_elems')
     row_tiles: Dict[int, List] = {int(row): [] for row in scalar_owners}
     col_cat = (np.concatenate(row_cols) if row_cols
                else np.zeros(0, dtype=np.int64))
@@ -1166,6 +1194,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         val_cat = np.concatenate(nxt_v)
         sizes_a = np.asarray(nxt_sizes, dtype=np.int64)
         owners = nxt_owner
+    _pt('long_route')
     for row in scalar_owners:
         # Class each vreg by ITS OWN window count: a long row's column-sorted
         # head has 1-2 windows while its scattered tail can use 32 — one
@@ -1181,6 +1210,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         for cls, tiles in by_cls.items():
             packets.append(_Packet("long", len(tiles), cls, tiles, row))
 
+    _pt('assembly')
     # ---- assembly --------------------------------------------------------
     # Merge small streams: each stream is one kernel launch whose fixed
     # cost (pipeline ramp on a 2-3-step grid) measures ~6 us = the
@@ -1344,6 +1374,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     n_y2_rows = out_row + n_long_rows
     Z = n_y2_rows                                   # the all-zero row
 
+    _pt('outtab')
     # ---- output-gather tables -------------------------------------------
     # block b's primary y2 row = its slice's first row + its level within
     # the (possibly strided, multi-block) slice
@@ -1448,6 +1479,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             + sum(v.size for _, v in frags.values())
             + (int(orows.size) if ovf_r else 0)),
     }
+    _pt('census')
     plan = WPlan(
         n_rows=n, n_cols=csr.n_cols, nnz=csr.nnz, config=config,
         s_rows=(-(-max(csr.n_cols, 1) // VREG)) * SUB,

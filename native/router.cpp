@@ -50,17 +50,36 @@ void RouteOne(const int32_t* lane, const int32_t* ipref, const int64_t* col,
   memset(overflow, 0, n);
 
   // Window histogram (windows are x2d row offsets, multiples of 8).
+  // Columns usually arrive sorted (relabeled/CSR-ordered streams): the
+  // histogram is then a run-length pass and the placement loop can track
+  // its round with a cursor instead of a per-element binary search.
+  bool sorted = true;
+  for (int64_t e = 1; e < n; ++e) {
+    if (col[e] < col[e - 1]) { sorted = false; break; }
+  }
   s->wins.clear();
   s->counts.clear();
-  for (int64_t e = 0; e < n; ++e) {
-    const int64_t w = (col[e] / kVreg) * kSub;
-    auto it = std::lower_bound(s->wins.begin(), s->wins.end(), w);
-    const size_t pos = it - s->wins.begin();
-    if (it != s->wins.end() && *it == w) {
-      ++s->counts[pos];
-    } else {
-      s->wins.insert(it, w);
-      s->counts.insert(s->counts.begin() + pos, 1);
+  if (sorted) {
+    for (int64_t e = 0; e < n; ++e) {
+      const int64_t w = (col[e] / kVreg) * kSub;
+      if (!s->wins.empty() && s->wins.back() == w) {
+        ++s->counts.back();
+      } else {
+        s->wins.push_back(w);
+        s->counts.push_back(1);
+      }
+    }
+  } else {
+    for (int64_t e = 0; e < n; ++e) {
+      const int64_t w = (col[e] / kVreg) * kSub;
+      auto it = std::lower_bound(s->wins.begin(), s->wins.end(), w);
+      const size_t pos = it - s->wins.begin();
+      if (it != s->wins.end() && *it == w) {
+        ++s->counts[pos];
+      } else {
+        s->wins.insert(it, w);
+        s->counts.insert(s->counts.begin() + pos, 1);
+      }
     }
   }
   // Keep the p_cap most popular windows.
@@ -81,14 +100,23 @@ void RouteOne(const int32_t* lane, const int32_t* ipref, const int64_t* col,
     win_out[i] = static_cast<int32_t>(kept[i]);
   }
 
+  const bool all_kept = kept.size() == s->wins.size();
+  size_t cur = 0;            // sorted-input round cursor
+  int64_t cur_w = kept.empty() ? -1 : kept[0];
   for (int64_t e = 0; e < n; ++e) {
     const int64_t w = (col[e] / kVreg) * kSub;
-    auto it = std::lower_bound(kept.begin(), kept.end(), w);
-    if (it == kept.end() || *it != w) {
-      overflow[e] = 1;
-      continue;
+    int32_t rnd;
+    if (sorted && all_kept) {
+      while (cur_w != w) { ++cur; cur_w = kept[cur]; }
+      rnd = static_cast<int32_t>(cur);
+    } else {
+      auto it = std::lower_bound(kept.begin(), kept.end(), w);
+      if (it == kept.end() || *it != w) {
+        overflow[e] = 1;
+        continue;
+      }
+      rnd = static_cast<int32_t>(it - kept.begin());
     }
-    const int32_t rnd = static_cast<int32_t>(it - kept.begin());
     const int32_t lam = static_cast<int32_t>(col[e] % kLanes);
     const int32_t q_rel = static_cast<int32_t>((col[e] / kLanes) % kSub);
     const int64_t src_row = col[e] / kLanes;
