@@ -128,3 +128,19 @@ def sum_axis(h: jnp.ndarray, l: jnp.ndarray, axis: int,
         ll = jnp.squeeze(slc(l, n - 1, 1), axis)
         rh, rl = add(rh, rl, lh, ll, safe)
     return rh, rl
+
+
+def div(ah, al, bh, bl, safe: bool = False) -> Pair:
+    """(ah, al) / (bh, bl) by one Newton refinement of the f32 quotient:
+    q0 = ah/bh; r = a - q0*b (dd-exact); q = q0 + r_hi/bh."""
+    q0 = ah / bh
+    ph, pl = mul(bh, bl, q0, jnp.zeros_like(q0), safe)
+    rh, rl = add(ah, al, -ph, -pl, safe)
+    return quick_two_sum(q0, rh / bh + rl / bh, safe)
+
+
+def dot(ah, al, bh, bl, safe: bool = False) -> Pair:
+    """dd inner product of two flat dd vectors: elementwise dd products
+    reduced by the compensated pairwise tree."""
+    ph, pl = mul(ah, al, bh, bl, safe)
+    return sum_axis(ph, pl, 0, safe)

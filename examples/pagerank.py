@@ -36,6 +36,14 @@ def pagerank(op, damping: float = 0.85, iters: int = 50):
     from dasp_tpu.ops.pallas_backend import spmv_fn
 
     meta, arrays = op._meta, op._arrays
+    # cache the jitted loop per (damping, iters): a fresh jit every call
+    # would retrace and re-dispatch the whole program each time
+    cache = getattr(op, "_pagerank_jit", None)
+    if cache is None:
+        cache = op._pagerank_jit = {}
+    if (damping, iters) in cache:
+        return np.asarray(op.perm_out(
+            np.asarray(cache[damping, iters](arrays))[:op.n_rows]))
     n = op.n_rows
     LANES = 128
     teleport = (1.0 - damping) / n
@@ -56,6 +64,7 @@ def pagerank(op, damping: float = 0.85, iters: int = 50):
         r2d = jax.lax.fori_loop(0, iters, body, r0)
         return spmv_fn(meta, arrays, r2d) * damping + teleport
 
+    cache[damping, iters] = run
     # the on-device loop runs in the operator's internal index space (a
     # symmetric relabel keeps x and y in ONE space, so y feeds straight
     # back); decode to original node order only at the exit
@@ -72,6 +81,7 @@ def main():
     t0 = time.time()
     op = dasp_tpu.SpMVOperator(csr, dtype="f32", backend="pallas")
     print(f"pack+compile setup: {time.time() - t0:.1f}s")
+    pagerank(op)                           # compile warmup (same trace)
     t0 = time.time()
     r = pagerank(op)
     dt = time.time() - t0

@@ -34,3 +34,18 @@ def test_pagerank_example(rng):
         rh = rh / rh.sum()
     rh = 0.85 * csr.spmv(rh) + 0.15 / csr.n_rows
     assert np.abs(r - rh).max() / np.abs(rh).max() < 1e-3
+
+
+def test_cg_solver_dd(rng):
+    """dd (f32x2) CG reaches fp64-grade residuals where f32 CG stalls."""
+    import cg_solver
+    import dasp_tpu
+    csr = cg_solver.build_spd(512, rng)
+    op = dasp_tpu.SpMVOperator(csr, dtype="f64", backend="pallas")
+    x_true = rng.standard_normal(csr.n_rows)
+    b = csr.spmv(x_true)
+    x, rnorm, iters = cg_solver.cg_solve_dd(op, b, maxiter=400)
+    err = np.linalg.norm(x - x_true) / np.linalg.norm(x_true)
+    # f32 stalls ~1e-4 here; dd reaches ~2e-8 (limited by the
+    # residual tolerance x conditioning, not precision)
+    assert err < 1e-6, (err, int(iters))

@@ -419,3 +419,20 @@ def test_relabel_symmetric_square(rng):
     si = np.maximum(np.abs(y_int), 1.0)
     np.testing.assert_allclose(y_dev / si, y_int / si,
                                rtol=2e-5, atol=2e-5)
+
+
+def test_relabel_sym_save_load(tmp_path, rng):
+    """row_perm (symmetric relabel) survives serialization."""
+    from dasp_tpu.wplan import save_wplan, load_wplan
+    from dasp_tpu.config import DaspConfig
+    csr = powerlaw_like(1200, 1.7, 1200, rng, col_alpha=1.6)
+    plan = build_wplan(csr, DaspConfig(relabel="first_touch"))
+    assert plan.row_perm is not None
+    p = tmp_path / "w.npz"
+    save_wplan(plan, p)
+    plan2 = load_wplan(p)
+    assert plan2.row_perm is not None
+    np.testing.assert_array_equal(plan.row_perm, plan2.row_perm)
+    x = rng.standard_normal(csr.n_cols)
+    np.testing.assert_allclose(_emulate(plan2, x), csr.spmv(x),
+                               rtol=1e-11, atol=1e-11)
