@@ -86,7 +86,14 @@ def main() -> int:
                     import numpy as _np
                     _np.asarray(jax.tree.leaves(loop(op._prep_x(x)))[0]
                                 .ravel()[:4])
-            res = bench_spmv(op, x, dtype, warmup=warmup, iters=iters)
+            try:
+                res = bench_spmv(op, x, dtype, warmup=warmup, iters=iters)
+            except Exception as e:
+                # the tunneled runtime throws transient FailedPrecondition
+                # errors; one retry recovers (observed 2026-08-17)
+                print(f"# retrying {name} {dtype} after: {e}",
+                      file=sys.stderr)
+                res = bench_spmv(op, x, dtype, warmup=warmup, iters=iters)
             all_gflops.append(res.gflops)
             if dtype == "f32" and base_res is not None:
                 ratios.append(res.gflops / base_res.gflops)
