@@ -139,6 +139,86 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool,
     )
 
 
+KV_SPMM = 4      # x vectors per multi-vector colsum pass (SpMM): the A
+                 # stream (vals+idx, ~6 KB/vreg) is read ONCE for all
+                 # KV vectors instead of once per vector
+
+
+def _make_colsum_multi(P: int, S: int, NV: int, interpret: bool,
+                       stride: int = SUB, kv: int = KV_SPMM):
+    """Multi-vector colsum: like _make_colsum but gathers from ``kv``
+    stacked x tables (flattened to (kv*S, 128)) per A-tile load, emitting
+    (kv, NV*R, 128) partials.  SpMM's A-stream cost amortizes across the
+    vectors; only the per-vector gather work scales with kv."""
+    UNROLL = UNROLL_INTERPRET if interpret else max(
+        8, globals()["UNROLL"] // kv)      # bound the unrolled body size
+    BV = BV_INTERPRET if interpret else (
+        BV_SMALL if NV <= BV_SMALL_MAX else globals()["BV"])
+    R = SUB // stride
+
+    def kernel(win_ref, vals_ref, idx_ref, x_ref, out_ref):
+        def body(u, _):
+            parts = [[] for _ in range(kv)]
+            for k in range(UNROLL):
+                v = u * UNROLL + k
+                idx = idx_ref[pl.ds(v * SUB, SUB), :].astype(jnp.int32)
+                vals = vals_ref[pl.ds(v * SUB, SUB), :].astype(jnp.float32)
+                lam = jax.lax.bitwise_and(idx, 127)
+                q = jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(idx, 7), 7)
+                rnd = (jax.lax.shift_right_logical(idx, 10)
+                       if P > 1 else None)
+                for j in range(kv):
+                    if P == 1:
+                        w = pl.multiple_of(win_ref[v, 1], SUB)
+                        xw = x_ref[pl.ds(j * S + w, SUB), :]
+                        g = jnp.take_along_axis(xw, q, axis=0)
+                        g = jnp.take_along_axis(g, lam, axis=1)
+                    else:
+                        terms = []
+                        for p in range(P):
+                            w = pl.multiple_of(win_ref[v, 1 + p], SUB)
+                            xw = x_ref[pl.ds(j * S + w, SUB), :]
+                            gp = jnp.take_along_axis(xw, q, axis=0)
+                            gp = jnp.take_along_axis(gp, lam, axis=1)
+                            terms.append(jnp.where(rnd == p, gp, 0.0))
+                        while len(terms) > 1:
+                            terms = [terms[i] + terms[i + 1]
+                                     if i + 1 < len(terms) else terms[i]
+                                     for i in range(0, len(terms), 2)]
+                        g = terms[0]
+                    prod = vals * g
+                    for L in range(R):
+                        parts[j].append(jnp.sum(
+                            prod[L * stride:(L + 1) * stride], axis=0,
+                            keepdims=True))
+            rows = pl.ds(u * UNROLL * R, UNROLL * R)
+            for j in range(kv):
+                out_ref[j, rows, :] = jnp.concatenate(parts[j], 0)
+            return 0
+
+        jax.lax.fori_loop(0, BV // UNROLL, body, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(NV // BV,),
+        in_specs=[
+            pl.BlockSpec((BV, P + 1), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BV * SUB, LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BV * SUB, LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kv * S, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kv, BV * R, LANES), lambda t: (0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kv, NV * R, LANES), jnp.float32),
+        interpret=interpret,
+    )
+
+
 BV_DYN = 8       # vregs per dynamic-round grid step
 
 
@@ -649,7 +729,15 @@ def spmv_fn(meta: WMeta, arrays: Dict, x2d):
         else:
             call = _make_colsum_dyn(P, meta.s_rows, NV, meta.interpret)
         partials.append(call(st["wins"], st["vals"], st["idx"], x2d))
+    y = _assemble_y(meta, arrays, partials, x2d)
+    if meta.dtype == "bf16":
+        return y.astype(jnp.bfloat16)
+    return y
 
+
+def _assemble_y(meta: WMeta, arrays: Dict, partials, x2d):
+    """XLA glue from per-stream colsum partials to y (n_rows,): segment
+    level sums -> y2 stack -> outgather -> COO-dreg correction."""
     y2_parts = []
     for stream, off, n_slices, w8, stride in meta.sell_segs:
         # the stream's kernel may run at a finer stride than this
@@ -695,9 +783,40 @@ def spmv_fn(meta: WMeta, arrays: Dict, x2d):
         o = arrays["overflow"]
         xg = jnp.take(x2d.reshape(-1), o["cols"], mode="clip")
         y = y.at[o["rows"]].add(o["vals"] * xg, mode="drop")
-    if meta.dtype == "bf16":
-        return y.astype(jnp.bfloat16)
     return y
+
+
+def spmm_fn(meta: WMeta, arrays: Dict, x3d):
+    """Jittable multi-vector SpMV (SpMM): x3d (KV_SPMM*s_rows, 128) f32
+    (KV_SPMM stacked x tables) -> y (KV_SPMM, n_rows).  Static streams
+    run through the multi-x colsum so the A stream is read once per
+    KV_SPMM vectors; dynamic (P>32) streams and the glue loop per
+    vector."""
+    assert meta.dtype != "f64", "SpMM fast path is f32/bf16 only"
+    S = meta.s_rows
+    multi: Dict[int, jnp.ndarray] = {}
+    ys = []
+    for j in range(KV_SPMM):
+        partials = []
+        for si, ((P, stride, NV), st) in enumerate(
+                zip(meta.streams, arrays["streams"])):
+            if P <= 32:
+                if si not in multi:
+                    call = _make_colsum_multi(P, S, NV, meta.interpret,
+                                              stride)
+                    multi[si] = call(st["wins"], st["vals"], st["idx"],
+                                     x3d)
+                partials.append(multi[si][j])
+            else:
+                call = _make_colsum_dyn(P, S, NV, meta.interpret)
+                partials.append(call(st["wins"], st["vals"], st["idx"],
+                                     x3d[j * S:(j + 1) * S]))
+        y = _assemble_y(meta, arrays, partials, x3d[j * S:(j + 1) * S])
+        ys.append(y)
+    out = jnp.stack(ys)
+    if meta.dtype == "bf16":
+        return out.astype(jnp.bfloat16)
+    return out
 
 
 def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
@@ -876,26 +995,44 @@ class PallasSpMV:
         fn = getattr(self, "_matmat_jit", None)
         if fn is None:
             meta = self._meta
-            fn = jax.jit(jax.vmap(lambda a, xd: spmv_fn(meta, a, xd),
-                                  in_axes=(None, 0)))
+            if self.dtype == "f64":
+                fn = jax.jit(jax.vmap(lambda a, xd: spmv_fn(meta, a, xd),
+                                      in_axes=(None, 0)))
+            else:
+                # multi-x colsum: the A stream is read once per KV_SPMM
+                # vectors instead of once per vector
+                fn = jax.jit(lambda a, x3: spmm_fn(meta, a, x3))
             self._matmat_jit = fn
         return fn
 
     def matmat(self, X):
-        """Multi-vector SpMV (SpMM): Y = A @ X for X of shape (n_cols, k),
-        vmapped over the packed kernels (the reference is SpMV-only)."""
+        """Multi-vector SpMV (SpMM): Y = A @ X for X of shape (n_cols, k).
+        f32/bf16 run the multi-x colsum (A streamed once per KV_SPMM
+        vectors); f64 vmaps the dd executor (the reference is SpMV-only).
+        """
         X = np.asarray(X)
         k = X.shape[1]
-        stacked = jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[prep_x(self._meta, X[:, j], self.plan.col_perm)
-              for j in range(k)])
-        y = self._matmat_fn()(self._arrays, stacked)
         if self.dtype == "f64":
+            stacked = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[prep_x(self._meta, X[:, j], self.plan.col_perm)
+                  for j in range(k)])
+            y = self._matmat_fn()(self._arrays, stacked)
             from . import dd
             out = dd.to_f64(np.asarray(y["hi"]), np.asarray(y["lo"])).T
         else:
-            out = np.asarray(y).T
+            S = self._meta.s_rows
+            cols = []
+            fn = self._matmat_fn()
+            for c0 in range(0, k, KV_SPMM):
+                xs = [prep_x(self._meta, X[:, j], self.plan.col_perm)
+                      for j in range(c0, min(c0 + KV_SPMM, k))]
+                while len(xs) < KV_SPMM:       # zero-pad the last chunk
+                    xs.append(np.zeros((S, LANES), np.float32))
+                x3 = jnp.asarray(np.concatenate(xs, axis=0))
+                cols.append(np.asarray(fn(self._arrays, x3)))
+            out = np.concatenate(cols, axis=0)[:k].T.astype(
+                np.float64 if X.dtype == np.float64 else X.dtype)
         if self.plan.row_perm is not None:
             out = out[self.plan.row_perm]
         return out
