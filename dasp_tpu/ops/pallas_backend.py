@@ -35,8 +35,10 @@ BV_SMALL = 32    # small streams (< BV_SMALL_MAX vregs) pipeline poorly at
                  # 2-3 grid steps; finer blocks recover ~25% (measured
                  # NV=256: 7.9us @ BV128 -> 6.0us @ BV32)
 BV_SMALL_MAX = 384
-UNROLL = 32      # vregs per inner unrolled group (tile sweep on v5e:
-                 # 32/128 gives 68 GF on cop20k vs 48 GF at 8/64)
+UNROLL = 32      # outgather rows per inner group (its own sweet spot)
+CS_UNROLL = 64   # colsum vregs per inner unrolled group (tile sweep on
+                 # v5e: 64/128 beats 32/128 by +5.5% cop20k, +11%
+                 # scircuit, +3% wikitalk; 128/512 and 16/128 are worse)
 UNROLL_INTERPRET = 8   # smaller unrolled bodies keep interpret-mode
                        # tracing (CPU tests) fast
 BV_INTERPRET = 8       # small grid blocks avoid padding tiny test streams
@@ -67,9 +69,9 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool,
     sublanes separately: a strided slice hosts 8/stride row LEVELS per
     lane (short-row packing, the TPU shape of the reference's
     short1/22/34 strategies, ``dasp_f64.h:283-483``)."""
-    UNROLL = UNROLL_INTERPRET if interpret else globals()["UNROLL"]
     BV = BV_INTERPRET if interpret else (
         BV_SMALL if NV <= BV_SMALL_MAX else globals()["BV"])
+    UNROLL = UNROLL_INTERPRET if interpret else min(CS_UNROLL, BV)
     R = SUB // stride
 
     def kernel(win_ref, vals_ref, idx_ref, x_ref, out_ref):
@@ -151,7 +153,7 @@ def _make_colsum_multi(P: int, S: int, NV: int, interpret: bool,
     (kv, NV*R, 128) partials.  SpMM's A-stream cost amortizes across the
     vectors; only the per-vector gather work scales with kv."""
     UNROLL = UNROLL_INTERPRET if interpret else max(
-        8, globals()["UNROLL"] // kv)      # bound the unrolled body size
+        8, CS_UNROLL // kv)                # bound the unrolled body size
     BV = BV_INTERPRET if interpret else (
         BV_SMALL if NV <= BV_SMALL_MAX else globals()["BV"])
     R = SUB // stride
@@ -340,9 +342,9 @@ def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool,
     pairs (the f32x2 emulation of the reference's fp64 path,
     ``main_f64.cu`` / ``dasp_f64.h``; see ops/dd.py).  ``stride`` as in
     _make_colsum: per-level sublane sums for strided (short-row) slices."""
-    UNROLL = UNROLL_INTERPRET if interpret else globals()["UNROLL"]
     BV = BV_INTERPRET if interpret else (
         BV_SMALL if NV <= BV_SMALL_MAX else globals()["BV"])
+    UNROLL = UNROLL_INTERPRET if interpret else min(CS_UNROLL, BV)
     R = SUB // stride
     from . import dd
 

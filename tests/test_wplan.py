@@ -419,6 +419,12 @@ def test_relabel_symmetric_square(rng):
     si = np.maximum(np.abs(y_int), 1.0)
     np.testing.assert_allclose(y_dev / si, y_int / si,
                                rtol=2e-5, atol=2e-5)
+    # SpMM through the symmetric perm (multi-x colsum + row decode)
+    X = rng.standard_normal((csr.n_cols, 3))
+    G = np.stack([csr.spmv(X[:, j]) for j in range(3)], axis=1)
+    sg = np.maximum(np.abs(G), 1.0)
+    np.testing.assert_allclose(op.matmat(X) / sg, G / sg,
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_relabel_sym_save_load(tmp_path, rng):
