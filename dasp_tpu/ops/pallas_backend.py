@@ -1153,3 +1153,16 @@ class SlabbedPallasSpMV:
             from . import dd
             return dd.to_f64(np.asarray(y["hi"]), np.asarray(y["lo"]))
         return np.asarray(y)
+
+    def perm_in(self, v):
+        """Column slabs never row-permute; per-slab column perms are
+        internal to _prep_x."""
+        return np.asarray(v)
+
+    perm_out = perm_in
+
+    def matmat(self, X) -> np.ndarray:
+        """Multi-vector SpMV over column slabs (loops columns)."""
+        X = np.asarray(X)
+        return np.stack([self(X[:, j]) for j in range(X.shape[1])],
+                        axis=1)

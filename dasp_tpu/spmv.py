@@ -131,6 +131,14 @@ class SpMVOperator:
 
     perm_out = perm_in
 
+    def matmat(self, X) -> np.ndarray:
+        """Multi-vector SpMV, Y = A @ X for X (n_cols, k).  The XLA
+        executor loops columns (the Pallas operator has the multi-x
+        fast path)."""
+        X = np.asarray(X)
+        return np.stack([self(X[:, j]) for j in range(X.shape[1])],
+                        axis=1)
+
     def __call__(self, x) -> np.ndarray:
         y = self.device_call(self._prep_x(x))
         if self.dtype == F64:

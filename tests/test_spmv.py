@@ -89,3 +89,18 @@ def test_f64_precision_beats_f32(rng):
     golden = csr.spmv(x)
     y64 = SpMVOperator(csr, dtype="f64", backend="xla")(x)
     assert abs(y64[0] - golden[0]) < 1e-6
+
+
+def test_matmat_interface_parity(rng):
+    """matmat exists on every operator flavor (XLA executor loops;
+    Pallas has the multi-x fast path)."""
+    from dasp_tpu.sparse import mixed_categories
+    import dasp_tpu
+    csr = mixed_categories(300, rng)
+    X = rng.standard_normal((csr.n_cols, 2))
+    G = np.stack([csr.spmv(X[:, j]) for j in range(2)], axis=1)
+    scale = np.maximum(np.abs(G), 1.0)
+    for backend in ("xla", "pallas"):
+        op = dasp_tpu.SpMVOperator(csr, dtype="f32", backend=backend)
+        np.testing.assert_allclose(op.matmat(X) / scale, G / scale,
+                                   rtol=2e-5, atol=2e-5)
