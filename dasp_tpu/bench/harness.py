@@ -96,15 +96,29 @@ def time_loop(op, x_dev, iters: int = ITERS, trials: int = 3) -> float:
     """Seconds per SpMV using the operator's in-jit timing loop: ``iters``
     chained iterations run in ONE device call (the reference's
     100-warmup/1000-iter protocol, dasp_f64.h:1285-1286, adapted to a
-    runtime with per-call dispatch overhead)."""
-    loop = op.timing_loop(iters)
-    _sync(loop(x_dev))          # compile + warm caches
-    best = float("inf")
+    runtime with per-call dispatch overhead).
+
+    Two loop lengths (N and 2N) are timed and DIFFERENCED so the ~26 ms
+    per-call overhead cancels exactly — subtracting a separately-measured
+    overhead estimate is catastrophically noise-sensitive when the whole
+    N-iteration loop wall is comparable to the overhead (a 60 us/iter
+    matrix at N=300 is an 18 ms loop under a 26 ms overhead)."""
+    loop1 = op.timing_loop(iters)
+    loop2 = op.timing_loop(2 * iters)
+    _sync(loop1(x_dev))         # compile + warm caches
+    _sync(loop2(x_dev))
+    best1 = best2 = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        _sync(loop(x_dev))
-        best = min(best, time.perf_counter() - t0)
-    return max(best - call_overhead(), 1e-9) / (iters + 1)
+        _sync(loop1(x_dev))
+        best1 = min(best1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _sync(loop2(x_dev))
+        best2 = min(best2, time.perf_counter() - t0)
+    per = (best2 - best1) / iters
+    if per <= 0:                # noise swamped the difference: fall back
+        per = max(best1 - call_overhead(), 1e-9) / (iters + 1)
+    return per
 
 
 def bench_spmv(op, x, dtype: str, warmup: int = WARMUP,
