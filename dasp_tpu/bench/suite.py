@@ -35,7 +35,14 @@ SUITE: Dict[str, Callable] = {
     # 48 nnz/row uniform within a 16k-wide band: regular widths but only
     # partial column locality (stresses the multi-round window path).
     "uniform_medium": lambda rng: _banded_uniform(131_072, 48, 8192, rng),
+    # soc-LiveJournal1-class (config 4's large long-heavy graph): ~2x
+    # wikitalk's nnz with a wider column space.  NOT in the default sweep
+    # (pack+compile add minutes); run via --names livejournal_like.
+    "livejournal_like": lambda rng: powerlaw_like(
+        600_000, 1.6, 300_000, rng, col_alpha=1.5),
 }
+DEFAULT_NAMES = ["cop20k_like", "scircuit_like", "webbase_like",
+                 "wikitalk_like", "uniform_medium"]
 
 
 def _banded_uniform(n, k, half_band, rng):
@@ -50,7 +57,7 @@ def _banded_uniform(n, k, half_band, rng):
 
 def build_suite(names: Optional[List[str]] = None, seed: int = 0
                 ) -> List[Tuple[str, CSRMatrix]]:
-    names = names or list(SUITE)
+    names = names or DEFAULT_NAMES
     out = []
     for n in names:
         rng = np.random.default_rng(seed + abs(hash(n)) % 1000)
