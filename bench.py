@@ -6,20 +6,75 @@ against the jax.experimental.sparse BCOO baseline (the role cuSPARSE plays
 in ``main_f64.cu:19-100``), with the reference's warmup+timed protocol
 (``dasp_f64.h:1285-1286``).
 
-Prints ONE summary JSON line:
+Prints a summary JSON line
   {"metric": "spmv_gflops_geomean", "value": <geomean dasp GFLOP/s over the
    suite x {f32, bf16, f64}>, "unit": "GFLOP/s",
    "vs_baseline": <geomean speedup of dasp-f32 over BCOO-f32>}
+INCREMENTALLY: the running summary is re-printed after every completed
+(matrix, dtype) arm, and a SIGTERM/SIGALRM/SIGINT handler prints the final
+summary before dying, so a timeout kill still leaves a complete record of
+everything measured so far (the last JSON line on stdout is always the most
+complete one).  Arms run cheapest-first.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+# nnz above which the BCOO baseline is DEFERRED to after the final summary:
+# its buffers crashed the TPU worker process at >19 Mnnz in round 1, which
+# poisons every later arm — run the risky arms only once nothing is left to
+# poison (the ratio, if it survives, is appended and the summary re-printed).
+BCOO_RISK_NNZ = 19_000_000
+
+
+class _Summary:
+    """Running suite summary; emitted after every arm and from signal
+    handlers so the driver's capture can never end up empty again
+    (round-1 failure mode: rc=124 with no JSON line printed)."""
+
+    def __init__(self):
+        self.gflops = []
+        self.ratios = []
+        self.done = 0
+        self.total = 0
+
+    def line(self) -> str:
+        from dasp_tpu.bench import geomean
+        return json.dumps({
+            "metric": "spmv_gflops_geomean",
+            "value": round(geomean(self.gflops), 3),
+            "unit": "GFLOP/s",
+            "vs_baseline": round(geomean(self.ratios), 3)
+            if self.ratios else 0.0,
+            "arms_done": self.done, "arms_total": self.total})
+
+    def emit(self) -> None:
+        if self.gflops:
+            print(self.line(), flush=True)
+
+
+SUMMARY = _Summary()
+
+
+def _install_handlers(deadline: float) -> None:
+    def die(signum, frame):
+        SUMMARY.emit()
+        sys.stdout.flush()
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, die)
+    if deadline > 0:
+        signal.signal(signal.SIGALRM, die)
+        signal.alarm(int(deadline))
 
 
 def main() -> int:
@@ -32,6 +87,21 @@ def main() -> int:
     ap.add_argument("--names", default=None,
                     help="comma-separated suite subset")
     ap.add_argument("--csv-dir", default="data")
+    ap.add_argument("--deadline", type=float,
+                    default=float(os.environ.get("DASP_BENCH_DEADLINE",
+                                                 2400)),
+                    help="self-imposed wall budget (s); the summary is "
+                         "printed and the process exits 0 when it fires "
+                         "(0 disables)")
+    # The reference's tunables were argv[2]/argv[3] before being hardcoded
+    # (main_f64.cu:121-125); expose them so they can be swept on TPU.
+    ap.add_argument("--block-longest", type=int, default=None,
+                    help="long-row threshold (reference default 256)")
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="SELL occupancy target (reference default 0.75)")
+    ap.add_argument("--relabel", default=None,
+                    choices=["auto", "off", "first_touch"],
+                    help="column relabel policy override")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed run "
                          "into DIR (the reference ships -lineinfo for "
@@ -40,19 +110,34 @@ def main() -> int:
                     help="benchmark these .mtx files instead of the suite")
     args = ap.parse_args()
 
+    _install_handlers(args.deadline)
+
     import jax
     from dasp_tpu import SpMVOperator, load_matrix
     from dasp_tpu.bench import (BCOOBaseline, append_record, bench_spmv,
                                 build_suite, geomean, record_from)
+    from dasp_tpu.config import DaspConfig, DEFAULT_CONFIG
     from dasp_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
 
+    config = DEFAULT_CONFIG
+    overrides = {k: v for k, v in [
+        ("block_longest", args.block_longest),
+        ("threshold", args.threshold),
+        ("relabel", args.relabel)] if v is not None}
+    if overrides:
+        import dataclasses
+        config = dataclasses.replace(config, **overrides)
+
     print(f"# devices: {jax.devices()}", file=sys.stderr)
     warmup = args.warmup if args.warmup is not None else (10 if args.quick
                                                           else 100)
+    # 100 timed iterations: the two-loop-length differencing makes the
+    # reference's 1000 (dasp_f64.h:1286) unnecessary for stable numbers,
+    # and round 1's 300 blew the driver's wall budget mid-suite.
     iters = args.iters if args.iters is not None else (50 if args.quick
-                                                       else 300)
+                                                       else 100)
     dtypes = args.dtypes.split(",")
 
     if args.mtx:
@@ -62,36 +147,39 @@ def main() -> int:
         if args.quick and not names:
             names = ["cop20k_like", "wikitalk_like"]
         suite = build_suite(names)
+    # Cheapest arms first: a wall-budget kill then costs the least data.
+    suite.sort(key=lambda t: t[1].nnz)
 
-    all_gflops = []
-    ratios = []
+    SUMMARY.total = len(suite) * len(dtypes)
+    deferred_bcoo = []         # (name, csr, x) for post-summary risky runs
+
+    def run_bcoo(name, csr, x, it):
+        try:
+            base = BCOOBaseline(csr, "f32")
+            return bench_spmv(base, x, "f32", warmup=min(warmup, 10),
+                              iters=it)
+        except Exception as e:  # baseline may be unsupported
+            print(f"# BCOO baseline failed on {name}: {e}", file=sys.stderr)
+            return None
+
     for name, csr in suite:
         rng = np.random.default_rng(1)
         x = rng.standard_normal(csr.n_cols)
 
         base_res = None
-        # BCOO's buffers at >19M nnz crashed the TPU worker process
-        # (which poisons every later arm); the baseline ratio is already
-        # established on the default suite
-        if csr.nnz <= 19_000_000:
-            try:
-                base = BCOOBaseline(csr, "f32")
-                base_res = bench_spmv(base, x, "f32",
-                                      warmup=min(warmup, 10),
-                                      iters=min(iters, 100))
-            except Exception as e:  # baseline may be unsupported
-                print(f"# BCOO baseline failed on {name}: {e}",
-                      file=sys.stderr)
+        if csr.nnz <= BCOO_RISK_NNZ:
+            base_res = run_bcoo(name, csr, x, min(iters, 100))
+        else:
+            deferred_bcoo.append((name, csr, x))
 
         for dtype in dtypes:
-            op = SpMVOperator(csr, dtype=dtype)
+            op = SpMVOperator(csr, dtype=dtype, config=config)
             if args.profile:
                 import jax.profiler
                 with jax.profiler.trace(args.profile):
                     loop = op.timing_loop(8)
-                    import numpy as _np
-                    _np.asarray(jax.tree.leaves(loop(op._prep_x(x)))[0]
-                                .ravel()[:4])
+                    np.asarray(jax.tree.leaves(loop(op._prep_x(x)))[0]
+                               .ravel()[:4])
             try:
                 res = bench_spmv(op, x, dtype, warmup=warmup, iters=iters)
             except Exception as e:
@@ -100,25 +188,37 @@ def main() -> int:
                 print(f"# retrying {name} {dtype} after: {e}",
                       file=sys.stderr)
                 res = bench_spmv(op, x, dtype, warmup=warmup, iters=iters)
-            all_gflops.append(res.gflops)
+            SUMMARY.gflops.append(res.gflops)
+            SUMMARY.done += 1
             if dtype == "f32" and base_res is not None:
-                ratios.append(res.gflops / base_res.gflops)
-            append_record(f"{args.csv_dir}/spmv_{dtype}_record.csv",
-                          record_from(op.plan, res, name, dtype,
-                                      base_res if dtype == "f32" else None))
+                SUMMARY.ratios.append(res.gflops / base_res.gflops)
+            if op.plan is not None:   # slabbed operators carry no one plan
+                append_record(f"{args.csv_dir}/spmv_{dtype}_record.csv",
+                              record_from(op.plan, res, name, dtype,
+                                          base_res if dtype == "f32"
+                                          else None))
             print(f"# {name} {dtype}: {res.gflops:.2f} GFLOP/s "
                   f"({res.seconds_per_iter*1e6:.1f} us/iter, "
                   f"bw {res.bandwidth2_gbs:.1f} GB/s model2)"
                   + (f"  BCOO: {base_res.gflops:.2f}"
                      if dtype == "f32" and base_res else ""),
                   file=sys.stderr)
+            SUMMARY.emit()
 
-    value = geomean(all_gflops)
-    vs = geomean(ratios) if ratios else 0.0
-    print(json.dumps({"metric": "spmv_gflops_geomean",
-                      "value": round(value, 3),
-                      "unit": "GFLOP/s",
-                      "vs_baseline": round(vs, 3)}))
+    # All dasp arms are recorded; now the risky outsized BCOO baselines
+    # (a worker crash here can no longer lose any dasp measurement —
+    # the complete summary is already the last JSON line).
+    for name, csr, x in deferred_bcoo:
+        base_res = run_bcoo(name, csr, x, min(iters, 20))
+        if base_res is not None:
+            dasp_rows = [g for g, (n, _) in
+                         zip(SUMMARY.gflops[::len(dtypes)], suite)
+                         if n == name]
+            if dasp_rows:
+                SUMMARY.ratios.append(dasp_rows[0] / base_res.gflops)
+            print(f"# {name} BCOO (deferred): {base_res.gflops:.2f} "
+                  f"GFLOP/s", file=sys.stderr)
+            SUMMARY.emit()
     return 0
 
 

@@ -107,16 +107,24 @@ def time_loop(op, x_dev, iters: int = ITERS, trials: int = 3) -> float:
     loop2 = op.timing_loop(2 * iters)
     _sync(loop1(x_dev))         # compile + warm caches
     _sync(loop2(x_dev))
-    best1 = best2 = float("inf")
+    # Difference WITHIN each trial (back-to-back loop1/loop2 runs see the
+    # same chip state under the documented +-2x time-of-day drift;
+    # differencing independent per-loop minima could pair timings from
+    # different drift regimes and bias or negate the difference).
+    diffs = []
+    best1 = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
         _sync(loop1(x_dev))
-        best1 = min(best1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
+        t1 = time.perf_counter()
         _sync(loop2(x_dev))
-        best2 = min(best2, time.perf_counter() - t0)
-    per = (best2 - best1) / iters
-    if per <= 0:                # noise swamped the difference: fall back
+        t2 = time.perf_counter()
+        diffs.append((t2 - t1) - (t1 - t0))
+        best1 = min(best1, t1 - t0)
+    pos = [d for d in diffs if d > 0]
+    if pos:
+        per = min(pos) / iters
+    else:                       # noise swamped the difference: fall back
         per = max(best1 - call_overhead(), 1e-9) / (iters + 1)
     return per
 

@@ -11,8 +11,11 @@ from typing import Dict
 FIELDS = [
     "filename", "rowA", "colA", "nnzA",
     "short_row_1", "common_13", "short_row_3", "short_row_4", "short_row_2",
-    "row_long", "row_block", "nnz_short", "nnz_long", "nnz_irreg",
+    "row_long", "row_block",
+    "nnz_short", "fill0_nnz_short", "nnz_long", "fill0_nnz_long",
+    "origin_nnz_reg", "fill0_nnz_reg", "nnz_irreg",
     "rate_fill0", "block_longest", "data_X",
+    "relabel",
     "dasp_pre", "dasp_time", "dasp_gflops",
     "dasp_bandwidth1", "dasp_bandwidth2",
     "baseline_time", "baseline_gflops",
@@ -20,11 +23,20 @@ FIELDS = [
 
 
 def append_record(path: str, row: Dict) -> None:
-    new = not os.path.exists(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    header = ",".join(FIELDS)
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.readline().rstrip("\n")
+        if old != header:          # schema changed: rotate the old file
+            n = 1
+            while os.path.exists(f"{path}.v{n}"):
+                n += 1
+            os.rename(path, f"{path}.v{n}")
+    new = not os.path.exists(path)
     with open(path, "a") as f:
         if new:
-            f.write(",".join(FIELDS) + "\n")
+            f.write(header + "\n")
         f.write(",".join(str(row.get(k, "")) for k in FIELDS) + "\n")
 
 
@@ -41,10 +53,19 @@ def record_from(plan, result, name: str, dtype: str,
         short_row_2=c.get("short_row_2", 0),
         row_long=c.get("row_long", 0), row_block=c.get("row_block", 0),
         nnz_short=c.get("nnz_short", 0), nnz_long=c.get("nnz_long", 0),
+        fill0_nnz_short=int(plan.stats.get("fill0_nnz_short", 0)),
+        fill0_nnz_long=int(plan.stats.get("fill0_nnz_long", 0)),
+        origin_nnz_reg=int(plan.stats.get("origin_nnz_reg", 0)),
+        fill0_nnz_reg=int(plan.stats.get("fill0_nnz_reg", 0)),
         nnz_irreg=int(plan.stats.get("nnz_irreg", 0)),
         rate_fill0=round(plan.stats.get("rate_fill0", 0.0), 4),
         block_longest=plan.config.block_longest,
         data_X=data1,
+        # per-matrix variant record (the reference reports two timed f16
+        # kernel variants per matrix, dasp_f16.h:1542-1718; the TPU analog
+        # is the relabel decision actually taken for this matrix)
+        relabel=("on" if getattr(plan, "col_perm", None) is not None
+                 else "off"),
         dasp_pre=round(result.preprocess_seconds * 1e3, 3),
         dasp_time=round(result.seconds_per_iter * 1e3, 6),
         dasp_gflops=round(result.gflops, 3),

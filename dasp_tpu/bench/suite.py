@@ -36,13 +36,14 @@ SUITE: Dict[str, Callable] = {
     # partial column locality (stresses the multi-round window path).
     "uniform_medium": lambda rng: _banded_uniform(131_072, 48, 8192, rng),
     # soc-LiveJournal1-class (config 4's large long-heavy graph): ~2x
-    # wikitalk's nnz with a wider column space.  NOT in the default sweep
-    # (pack+compile add minutes); run via --names livejournal_like.
+    # wikitalk's nnz with a wider column space.  Runs LAST in the default
+    # sweep (bench.py orders arms cheapest-first and emits the summary
+    # incrementally, so its pack+compile minutes can no longer lose data).
     "livejournal_like": lambda rng: powerlaw_like(
         600_000, 1.6, 300_000, rng, col_alpha=1.5),
 }
 DEFAULT_NAMES = ["cop20k_like", "scircuit_like", "webbase_like",
-                 "wikitalk_like", "uniform_medium"]
+                 "wikitalk_like", "uniform_medium", "livejournal_like"]
 
 
 def _banded_uniform(n, k, half_band, rng):

@@ -18,24 +18,47 @@ _LIB = None
 _TRIED = False
 
 
+def _stale(so_path: str, srcdir: str) -> bool:
+    """The .so predates a source file (make only reruns on first use)."""
+    try:
+        so_m = os.path.getmtime(so_path)
+        return any(os.path.getmtime(os.path.join(srcdir, f)) > so_m
+                   for f in os.listdir(srcdir)
+                   if f.endswith(".cpp") or f == "Makefile")
+    except OSError:
+        return False
+
+
 def _find_lib():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    srcdir = os.path.join(os.path.dirname(here), "native")
     candidates = [
         os.path.join(here, "_native", "libdasp_host.so"),
-        os.path.join(os.path.dirname(here), "native", "libdasp_host.so"),
+        os.path.join(srcdir, "libdasp_host.so"),
     ]
     for c in candidates:
-        if os.path.exists(c):
+        if os.path.exists(c) and not _stale(c, srcdir):
             return c
-    # The .so is a build artifact (gitignored); build it on first use so a
-    # fresh checkout never silently falls back to the slow Python router.
-    srcdir = os.path.join(os.path.dirname(here), "native")
+    # The .so is a build artifact (gitignored); (re)build it on first use
+    # so a fresh checkout never silently falls back to the slow Python
+    # router, and a stale .so never hides new native entry points.
     if os.path.exists(os.path.join(srcdir, "Makefile")):
         import subprocess
+        import sys
         try:
             subprocess.run(["make", "-C", srcdir], check=True,
                            capture_output=True, timeout=120)
-        except Exception:
+        except Exception as e:
+            # A broken toolchain must not SILENTLY fall back to the slow
+            # Python router — say why the build failed, once.
+            tail = ""
+            stderr = getattr(e, "stderr", None)
+            if stderr:
+                tail = ": " + stderr.decode("utf-8", "replace").strip(
+                    ).splitlines()[-1][:200]
+            print(f"dasp_tpu: native build failed ({e.__class__.__name__}"
+                  f"{tail}); using the slow Python fallback",
+                  file=sys.stderr)
             return None
         c = os.path.join(srcdir, "libdasp_host.so")
         if os.path.exists(c):
@@ -66,6 +89,10 @@ def _load():
                                     ctypes.POINTER(ctypes.c_double)]
     lib.dasp_csr_free.restype = None
     lib.dasp_csr_free.argtypes = [ctypes.c_void_p]
+    for name in ("dasp_sym_perm", "dasp_col_perm"):
+        fn = getattr(lib, name, None)
+        if fn is not None:
+            fn.restype = None
     try:
         lib.dasp_route_vregs.restype = None
         lib.dasp_route_vregs.argtypes = [
@@ -120,6 +147,58 @@ def route_vregs(offsets, lane, ipref, col, val, p_cap, strides=None):
         overflow.ctypes.data_as(P(ctypes.c_uint8)))
     return (vals_tiles, idx_tiles, wins, win_counts,
             overflow[:n].astype(bool))
+
+
+def sym_perm(row_ptr, col_idx, values, newpos):
+    """Native A' = P A P^T: returns (row_ptr', col_idx', values') with
+    columns ascending within each row.  None if the library lacks it."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dasp_sym_perm"):
+        return None
+    n = row_ptr.size - 1
+    nnz = int(row_ptr[-1])
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    col_idx = np.ascontiguousarray(col_idx, dtype=np.int32)
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    newpos = np.ascontiguousarray(newpos, dtype=np.int64)
+    out_ptr = np.empty(n + 1, dtype=np.int64)
+    out_col = np.empty(nnz, dtype=np.int32)
+    out_val = np.empty(nnz, dtype=np.float64)
+    P = ctypes.POINTER
+    lib.dasp_sym_perm(
+        n, row_ptr.ctypes.data_as(P(ctypes.c_int64)),
+        col_idx.ctypes.data_as(P(ctypes.c_int32)),
+        values.ctypes.data_as(P(ctypes.c_double)),
+        newpos.ctypes.data_as(P(ctypes.c_int64)),
+        out_ptr.ctypes.data_as(P(ctypes.c_int64)),
+        out_col.ctypes.data_as(P(ctypes.c_int32)),
+        out_val.ctypes.data_as(P(ctypes.c_double)))
+    return out_ptr, out_col, out_val
+
+
+def col_perm(row_ptr, col_idx, values, newpos):
+    """Native column relabel + within-row re-sort.  Returns (col_idx',
+    values'); row_ptr is unchanged.  None if the library lacks it."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dasp_col_perm"):
+        return None
+    n = row_ptr.size - 1
+    nnz = int(row_ptr[-1])
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    col_idx = np.ascontiguousarray(col_idx, dtype=np.int32)
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    newpos = np.ascontiguousarray(newpos, dtype=np.int64)
+    out_col = np.empty(nnz, dtype=np.int32)
+    out_val = np.empty(nnz, dtype=np.float64)
+    P = ctypes.POINTER
+    lib.dasp_col_perm(
+        n, row_ptr.ctypes.data_as(P(ctypes.c_int64)),
+        col_idx.ctypes.data_as(P(ctypes.c_int32)),
+        values.ctypes.data_as(P(ctypes.c_double)),
+        newpos.ctypes.data_as(P(ctypes.c_int64)),
+        out_col.ctypes.data_as(P(ctypes.c_int32)),
+        out_val.ctypes.data_as(P(ctypes.c_double)))
+    return out_col, out_val
 
 
 def has_router() -> bool:

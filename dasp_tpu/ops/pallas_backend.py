@@ -144,6 +144,11 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool,
 KV_SPMM = 4      # x vectors per multi-vector colsum pass (SpMM): the A
                  # stream (vals+idx, ~6 KB/vreg) is read ONCE for all
                  # KV vectors instead of once per vector
+SPMM_X_VMEM_BYTES = 8 << 20   # budget for the multi-x kernel's stacked x
+                 # tables (one un-blocked VMEM operand; see
+                 # PallasSpMV._spmm_kv) — half the slab-gated 4 MB/table
+                 # max times KV_SPMM would be 16 MB, too much alongside
+                 # the A-stream pipeline buffers
 
 
 def _make_colsum_multi(P: int, S: int, NV: int, interpret: bool,
@@ -788,24 +793,24 @@ def _assemble_y(meta: WMeta, arrays: Dict, partials, x2d):
     return y
 
 
-def spmm_fn(meta: WMeta, arrays: Dict, x3d):
-    """Jittable multi-vector SpMV (SpMM): x3d (KV_SPMM*s_rows, 128) f32
-    (KV_SPMM stacked x tables) -> y (KV_SPMM, n_rows).  Static streams
+def spmm_fn(meta: WMeta, arrays: Dict, x3d, kv: int = KV_SPMM):
+    """Jittable multi-vector SpMV (SpMM): x3d (kv*s_rows, 128) f32
+    (kv stacked x tables) -> y (kv, n_rows).  Static streams
     run through the multi-x colsum so the A stream is read once per
-    KV_SPMM vectors; dynamic (P>32) streams and the glue loop per
+    kv vectors; dynamic (P>32) streams and the glue loop per
     vector."""
     assert meta.dtype != "f64", "SpMM fast path is f32/bf16 only"
     S = meta.s_rows
     multi: Dict[int, jnp.ndarray] = {}
     ys = []
-    for j in range(KV_SPMM):
+    for j in range(kv):
         partials = []
         for si, ((P, stride, NV), st) in enumerate(
                 zip(meta.streams, arrays["streams"])):
             if P <= 32:
                 if si not in multi:
                     call = _make_colsum_multi(P, S, NV, meta.interpret,
-                                              stride)
+                                              stride, kv=kv)
                     multi[si] = call(st["wins"], st["vals"], st["idx"],
                                      x3d)
                 partials.append(multi[si][j])
@@ -991,27 +996,42 @@ class PallasSpMV:
                 dd.to_f64(np.asarray(y["hi"]), np.asarray(y["lo"])))
         return self.perm_out(np.asarray(y))
 
+    def _spmm_kv(self) -> int:
+        """x vectors per multi-x colsum pass.  The multi-x kernel stages
+        all kv stacked x tables as ONE un-blocked VMEM operand, so kv is
+        halved until the stack fits the footprint budget; kv=1 falls back
+        to the vmapped single-vector kernel (whose table is blocked per
+        batch index) — a wide matrix whose SpMV fits VMEM must not fail
+        to allocate on SpMM."""
+        per_table = self._meta.s_rows * LANES * 4
+        kv = KV_SPMM
+        while kv > 1 and kv * per_table > SPMM_X_VMEM_BYTES:
+            kv //= 2
+        return kv
+
     def _matmat_fn(self):
         # cached across calls: a per-operator jit (a fresh jit per call
         # would retrace+recompile every time, measured 1.1s/call)
         fn = getattr(self, "_matmat_jit", None)
         if fn is None:
             meta = self._meta
-            if self.dtype == "f64":
+            if self.dtype == "f64" or self._spmm_kv() == 1:
                 fn = jax.jit(jax.vmap(lambda a, xd: spmv_fn(meta, a, xd),
                                       in_axes=(None, 0)))
             else:
-                # multi-x colsum: the A stream is read once per KV_SPMM
+                # multi-x colsum: the A stream is read once per kv
                 # vectors instead of once per vector
-                fn = jax.jit(lambda a, x3: spmm_fn(meta, a, x3))
+                kv = self._spmm_kv()
+                fn = jax.jit(lambda a, x3: spmm_fn(meta, a, x3, kv))
             self._matmat_jit = fn
         return fn
 
     def matmat(self, X):
         """Multi-vector SpMV (SpMM): Y = A @ X for X of shape (n_cols, k).
         f32/bf16 run the multi-x colsum (A streamed once per KV_SPMM
-        vectors); f64 vmaps the dd executor (the reference is SpMV-only).
-        """
+        vectors) when the stacked x tables fit VMEM, else the vmapped
+        single-vector kernel; f64 vmaps the dd executor (the reference is
+        SpMV-only)."""
         X = np.asarray(X)
         k = X.shape[1]
         if self.dtype == "f64":
@@ -1022,14 +1042,22 @@ class PallasSpMV:
             y = self._matmat_fn()(self._arrays, stacked)
             from . import dd
             out = dd.to_f64(np.asarray(y["hi"]), np.asarray(y["lo"])).T
+        elif self._spmm_kv() == 1:
+            stacked = jnp.asarray(np.stack(
+                [prep_x(self._meta, X[:, j], self.plan.col_perm)
+                 for j in range(k)]))
+            y = self._matmat_fn()(self._arrays, stacked)
+            out = np.asarray(y)[:k].T.astype(
+                np.float64 if X.dtype == np.float64 else X.dtype)
         else:
             S = self._meta.s_rows
+            kv = self._spmm_kv()
             cols = []
             fn = self._matmat_fn()
-            for c0 in range(0, k, KV_SPMM):
+            for c0 in range(0, k, kv):
                 xs = [prep_x(self._meta, X[:, j], self.plan.col_perm)
-                      for j in range(c0, min(c0 + KV_SPMM, k))]
-                while len(xs) < KV_SPMM:       # zero-pad the last chunk
+                      for j in range(c0, min(c0 + kv, k))]
+                while len(xs) < kv:            # zero-pad the last chunk
                     xs.append(np.zeros((S, LANES), np.float32))
                 x3 = jnp.asarray(np.concatenate(xs, axis=0))
                 cols.append(np.asarray(fn(self._arrays, x3)))

@@ -184,10 +184,11 @@ class WPlan:
                                   np.arange(self.n_cols)), \
                 "col_perm must be a permutation"
         if self.row_perm is not None:
-            assert self.col_perm is not None and \
-                self.row_perm is self.col_perm or np.array_equal(
-                    self.row_perm, self.col_perm), \
+            assert self.col_perm is not None, \
                 "row_perm is only produced by the symmetric relabel"
+            assert self.row_perm is self.col_perm or np.array_equal(
+                self.row_perm, self.col_perm), \
+                "symmetric relabel requires row_perm == col_perm"
 
 
 # ---------------------------------------------------------------------------
@@ -1227,35 +1228,43 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # saving is smaller: 320 merged a P=6 class into scircuit's stride-2
     # pool and LOST 6%; 120 keeps only the cheap merges (cop20k +6%).
     ROUND_EQ, ROW_EQ, FIXED_EQ = 0.17, 0.083, 120.0
-    cls_vregs: Dict[Tuple[int, int], int] = {}    # (cls, stride) -> vregs
+    key_mass: Dict[Tuple[int, int], int] = {}     # (cls, stride) -> vregs
     for q in packets:
         key = (q.cls, q.stride)
-        cls_vregs[key] = cls_vregs.get(key, 0) + q.w8
+        key_mass[key] = key_mass.get(key, 0) + q.w8
     final_key: Dict[Tuple[int, int], Tuple[int, int]] = {
-        k: k for k in cls_vregs}
+        k: k for k in key_mass}
 
     def _members(root):
         return [k for k, v in final_key.items() if v == root]
+
+    # A root's vreg total is always recomputed from its current members
+    # (an earlier version kept running totals, which went stale when a
+    # merge's new_root coincided with a key previously merged elsewhere:
+    # re-pointing that key moved its packets but not its credited mass).
+    def _mass(root):
+        return sum(key_mass.get(k, 0) for k in _members(root))
 
     changed = True
     while changed:
         changed = False
         roots = sorted({v for v in final_key.values()},
-                       key=lambda k: (cls_vregs[k], k))
+                       key=lambda k: (_mass(k), k))
+        masses = {r: _mass(r) for r in roots}
         for c in roots:
-            vc = cls_vregs[c]
+            vc = masses[c]
             best = None
             for t in roots:
-                if t == c or cls_vregs[t] < vc:
+                if t == c or masses[t] < vc:
                     continue
                 if (c[0] <= P_CLASSES[-1]) != (t[0] <= P_CLASSES[-1]):
                     continue
                 P_new = max(c[0], t[0])
                 s_new = min(c[1], t[1])
                 cost = (vc * (P_new - c[0]) * ROUND_EQ
-                        + cls_vregs[t] * (P_new - t[0]) * ROUND_EQ
+                        + masses[t] * (P_new - t[0]) * ROUND_EQ
                         + vc * (SUB // s_new - SUB // c[1]) * ROW_EQ
-                        + cls_vregs[t] * (SUB // s_new - SUB // t[1])
+                        + masses[t] * (SUB // s_new - SUB // t[1])
                         * ROW_EQ)
                 if cost < FIXED_EQ and (best is None or cost < best[0]):
                     best = (cost, t)
@@ -1264,16 +1273,12 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 new_root = (max(c[0], t[0]), min(c[1], t[1]))
                 for k in _members(c) + _members(t):
                     final_key[k] = new_root
-                if new_root not in cls_vregs:
-                    cls_vregs[new_root] = 0
-                    final_key.setdefault(new_root, new_root)
-                cls_vregs[new_root] = (0 if new_root in (c, t) else
-                                       cls_vregs.get(new_root, 0)) \
-                    + cls_vregs[c] + cls_vregs[t]
-                if c != new_root:
-                    cls_vregs[c] = 0
-                if t != new_root:
-                    cls_vregs[t] = 0
+                final_key.setdefault(new_root, new_root)
+                key_mass.setdefault(new_root, 0)
+                # If key new_root had been merged into a third root X, it
+                # becomes a root again here; X keeps its other members and
+                # both masses stay exact via _mass recomputation (packets
+                # of key new_root are class/stride-exact in either stream).
                 final_key[new_root] = new_root
                 changed = True
                 break
@@ -1466,11 +1471,29 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         "nnz_short": int(lens[(lens >= 1) & (lens <= 4)].sum()),
         "nnz_long": int(lens[is_long].sum()),
     }
+    # Per-category padded/original element counts — the reference's primary
+    # packing-quality diagnostics (fill0_nnz_short / fill0_nnz_long /
+    # origin_nnz_reg / fill0_nnz_reg, dasp_f64.h:1440-1441).  Mapping: the
+    # strided bucket slices subsume the reference's short strategies, SELL
+    # slices its regular medium region, long packets+fragments its long
+    # part; rem slices are the irregular-tail analog (nnz_irreg below).
+    kind_fill = {}
+    for q in packets:
+        pad = sum(t[0].size for t in q.tiles)
+        org = sum(int(np.count_nonzero(t[0])) for t in q.tiles)
+        key = ("short" if q.kind.startswith("short") else
+               "rem" if q.kind.startswith("rem") else q.kind)
+        p0, o0 = kind_fill.get(key, (0, 0))
+        kind_fill[key] = (p0 + pad, o0 + org)
     stats = {
         "fill0_nnz_total": float(padded),
         "rate_fill0": float((padded - csr.nnz) / csr.nnz) if csr.nnz else 0.0,
         "overflow_frac": float(census["n_overflow"] / csr.nnz)
         if csr.nnz else 0.0,
+        "fill0_nnz_short": float(kind_fill.get("short", (0, 0))[0]),
+        "fill0_nnz_long": float(kind_fill.get("long", (0, 0))[0]),
+        "origin_nnz_reg": float(kind_fill.get("sell", (0, 0))[1]),
+        "fill0_nnz_reg": float(kind_fill.get("sell", (0, 0))[0]),
         # the reference's irregular-tail CSR analog: elements re-routed
         # through shared rem slices, long-style fragments, or COO dregs
         "nnz_irreg": float(
