@@ -41,9 +41,19 @@ SUITE: Dict[str, Callable] = {
     # incrementally, so its pack+compile minutes can no longer lose data).
     "livejournal_like": lambda rng: powerlaw_like(
         600_000, 1.6, 300_000, rng, col_alpha=1.5),
+    # REAL FEM matrix (deterministic P1 Poisson assembly on an
+    # unstructured Delaunay mesh, bench/fem.py) — the real-structure
+    # validation arm next to the synthetic archetypes.
+    "poisson3d_fem": lambda rng: _fem(),
 }
 DEFAULT_NAMES = ["cop20k_like", "scircuit_like", "webbase_like",
-                 "wikitalk_like", "uniform_medium", "livejournal_like"]
+                 "wikitalk_like", "uniform_medium", "poisson3d_fem",
+                 "livejournal_like"]
+
+
+def _fem():
+    from .fem import poisson3d_fem
+    return poisson3d_fem()
 
 
 def _banded_uniform(n, k, half_band, rng):

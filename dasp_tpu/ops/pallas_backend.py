@@ -938,6 +938,12 @@ class PallasSpMV:
         self.plan = build_wplan(csr, config or DEFAULT_CONFIG)
         self.dtype = dtype
         self._meta, arrays = plan_to_arrays(self.plan, dtype)
+        # VMEM-resident iterated mode (ops/resident.py): plans whose
+        # packed streams fit VMEM run chained iterations at VMEM
+        # bandwidth (the TPU analog of the reference benchmarking out of
+        # the A100's L2).  Constants must be built before device_put.
+        from . import resident as _resident
+        _resident.prepare(self._meta, arrays)
         self._arrays = jax.device_put(arrays)
         self._fn = jax.jit(spmv_fn, static_argnums=0)
         self.preprocess_seconds = time.perf_counter() - t0
@@ -953,8 +959,19 @@ class PallasSpMV:
     def device_call(self, x_dev):
         return self._fn(self._meta, self._arrays, x_dev)
 
+    @property
+    def resident(self) -> bool:
+        """True when chained iterations run VMEM-resident (the packed
+        streams fit VMEM; see ops/resident.py)."""
+        return self._arrays.get("resident") is not None
+
     def timing_loop(self, iters: int):
         meta = self._meta
+        if self.resident:
+            from . import resident as _resident
+            rfn = _resident.make_resident_loop(meta, iters)
+            loop_r = jax.jit(rfn)
+            return lambda x_dev: loop_r(self._arrays, x_dev)
 
         @jax.jit
         def loop(arrays, x2d):

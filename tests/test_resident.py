@@ -1,0 +1,91 @@
+"""VMEM-resident iterated SpMV (ops/resident.py) vs the per-call path.
+
+Interpret-mode (CPU) equality tests; the TPU compile/perf path is
+exercised by bench.py.  Reference protocol being modeled:
+``dasp_f64.h:1285-1286`` (1000 chained iterations over one matrix).
+"""
+
+import numpy as np
+import pytest
+
+from dasp_tpu.ops import pallas_backend as pb
+from dasp_tpu.ops import resident
+from dasp_tpu.sparse import (CSRMatrix, circuit_like, fem_like,
+                             mixed_categories, powerlaw_like)
+
+
+def _op(csr, dtype="f32"):
+    return pb.PallasSpMV(csr, dtype)
+
+
+@pytest.mark.parametrize("builder,seed", [
+    (lambda rng: mixed_categories(500, rng), 0),
+    (lambda rng: circuit_like(2000, rng), 1),
+    (lambda rng: powerlaw_like(1500, 1.8, 700, rng, col_alpha=1.8), 2),
+    # segments LONGER than SEG_CHUNK slices (regression: the fold loop
+    # once advanced by chunk index instead of slice index, which only
+    # plans with >8-slice segments exposed)
+    (lambda rng: fem_like(6000, 24, rng), 3),
+])
+def test_resident_matches_spmv(builder, seed):
+    rng = np.random.default_rng(seed)
+    csr = builder(rng)
+    op = _op(csr)
+    assert op.resident, "suite-scale plans must be resident-eligible"
+    x = rng.standard_normal(csr.n_cols)
+    golden = csr.spmv(x)
+    y_call = op(x)
+    loop = op.timing_loop(1)
+    y_res = op.perm_out(np.asarray(loop(op._prep_x(x))))
+    np.testing.assert_allclose(y_call, golden, rtol=0, atol=2e-4 *
+                               max(1.0, np.abs(golden).max()))
+    np.testing.assert_allclose(y_res, y_call, rtol=0, atol=1e-5 *
+                               max(1.0, np.abs(golden).max()))
+
+
+def test_resident_chained_iters_stay_close():
+    rng = np.random.default_rng(3)
+    csr = mixed_categories(400, rng)
+    op = _op(csr)
+    x = rng.standard_normal(csr.n_cols)
+    y1 = op.perm_out(np.asarray(op.timing_loop(1)(op._prep_x(x))))
+    y3 = op.perm_out(np.asarray(op.timing_loop(3)(op._prep_x(x))))
+    # the 1e-36 chain perturbation must not visibly move the result
+    np.testing.assert_allclose(y3, y1, rtol=0,
+                               atol=1e-5 * max(1.0, np.abs(y1).max()))
+
+
+def test_resident_bf16():
+    rng = np.random.default_rng(4)
+    csr = circuit_like(1500, rng)
+    op = _op(csr, "bf16")
+    assert op.resident
+    x = rng.standard_normal(csr.n_cols)
+    golden = csr.spmv(x)
+    y = op.perm_out(np.asarray(op.timing_loop(2)(op._prep_x(x)))
+                    .astype(np.float64))
+    err = np.abs(y - golden) / np.maximum(1.0, np.abs(golden))
+    assert err.max() < 0.1
+
+
+def test_dyn_stream_plans_not_resident():
+    rng = np.random.default_rng(5)
+    # uniform random columns at scale force P>32 dynamic rounds
+    from dasp_tpu.sparse import random_csr
+    lens = np.full(6000, 64)
+    csr = random_csr(6000, 6000, lens, rng)
+    op = _op(csr)
+    if any(P > 32 for P, _, _ in op._meta.streams):
+        assert not op.resident
+    # f64 never resident (dd path)
+    op64 = _op(circuit_like(1000, np.random.default_rng(6)), "f64")
+    assert not op64.resident
+
+
+def test_budget_gate():
+    rng = np.random.default_rng(7)
+    csr = circuit_like(1200, rng)
+    meta, arrays = pb.plan_to_arrays(pb.build_wplan(csr))
+    resident.prepare(meta, arrays)
+    assert arrays["resident"] is not None
+    assert resident.resident_bytes(meta, arrays) < resident.RESIDENT_BUDGET
