@@ -944,6 +944,10 @@ class PallasSpMV:
         # the A100's L2).  Constants must be built before device_put.
         from . import resident as _resident
         _resident.prepare(self._meta, arrays)
+        # host copy of the out_src table: the resident outgather is
+        # STATICALLY specialized from it (resident.py:_og_program)
+        self._src_host = (arrays["out_src"].copy()
+                          if arrays.get("resident") is not None else None)
         self._arrays = jax.device_put(arrays)
         self._fn = jax.jit(spmv_fn, static_argnums=0)
         self.preprocess_seconds = time.perf_counter() - t0
@@ -969,9 +973,15 @@ class PallasSpMV:
         meta = self._meta
         if self.resident:
             from . import resident as _resident
-            rfn = _resident.make_resident_loop(meta, iters)
-            loop_r = jax.jit(rfn)
-            return lambda x_dev: loop_r(self._arrays, x_dev)
+            loop_r = getattr(self, "_resident_jit", None)
+            if loop_r is None:
+                rfn = _resident.make_resident_loop(meta, self._src_host)
+                # dynamic grid needs a real Mosaic lowering; interpret
+                # mode gets a static per-iters retrace instead (cheap)
+                loop_r = self._resident_jit = jax.jit(
+                    rfn, static_argnums=(2,) if meta.interpret else ())
+            it = iters if meta.interpret else jnp.int32(iters)
+            return lambda x_dev: loop_r(self._arrays, x_dev, it)
 
         @jax.jit
         def loop(arrays, x2d):

@@ -163,12 +163,53 @@ def prepare(meta, arrays) -> None:
         arrays["resident"] = None
 
 
-def make_resident_loop(meta, iters: int):
-    """Build fn(arrays, x2d) -> y (n_rows,) running ``iters`` chained
-    iterations resident in VMEM.  Call only when arrays["resident"] is a
-    dict (see ``prepare``)."""
+def _og_program(src_np, Z: int, RU: int):
+    """Compile the static out_src table into a per-chunk run program:
+    [chunk][slot] -> None (all unused) or [(kind, scr_off, len, y2row)]
+    with kind 'consec' (rows r..r+len-1), 'const' (row r repeated), or
+    'one'.  Z (the zero row) participates as a normal const source."""
+    B, K = src_np.shape
+    prog = []
+    for u in range(B // RU):
+        chunk = []
+        for sk in range(K):
+            v = src_np[u * RU:(u + 1) * RU, sk].astype(np.int64)
+            if (v == Z).all():
+                chunk.append(None)
+                continue
+            runs = []
+            i = 0
+            while i < RU:
+                j = i + 1
+                if j < RU and v[j] == v[i]:
+                    while j < RU and v[j] == v[i]:
+                        j += 1
+                    runs.append(("const", i, j - i, int(v[i])))
+                elif j < RU and v[j] == v[i] + 1:
+                    while j < RU and v[j] == v[j - 1] + 1:
+                        j += 1
+                    runs.append(("consec", i, j - i, int(v[i])))
+                else:
+                    runs.append(("one", i, 1, int(v[i])))
+                i = j
+            chunk.append(runs)
+        prog.append(chunk)
+    return prog
+
+
+def make_resident_loop(meta, src_static=None):
+    """Build fn(arrays, x2d, iters) -> y (n_rows,) running ``iters``
+    chained iterations resident in VMEM.  ``iters`` may be a TRACED
+    scalar: the grid dimension is dynamic, so one compile serves every
+    iteration count (remote compiles of the fused kernel cost minutes).
+    Call only when arrays["resident"] is a dict (see ``prepare``).
+    ``src_static``: host copy of the (B_pad, k_used) out_src table —
+    enables the statically specialized outgather (falls back to the
+    SMEM-driven dynamic one when None)."""
     interpret = meta.interpret
     RU = _ru(interpret)
+    og_prog = (_og_program(np.asarray(src_static), meta.n_y2_rows, RU)
+               if src_static is not None else None)
     S = meta.s_rows
     n_streams = len(meta.streams)
     R2 = meta.n_y2_rows + 1
@@ -182,7 +223,7 @@ def make_resident_loop(meta, iters: int):
     long_streams = []
     tot_base, tacc = {}, 0
 
-    def kernel_factory(res_keys):
+    def kernel_factory(res_keys, og_prog):
         have_long = bool(meta.n_long)
 
         def kernel(*refs):
@@ -192,7 +233,8 @@ def make_resident_loop(meta, iters: int):
                 wins.append(refs[i]); vals.append(refs[i + 1])
                 idx.append(refs[i + 2]); i += 3
             x_in = refs[i]; i += 1
-            src_ref = refs[i]; i += 1
+            if og_prog is None:
+                src_ref = refs[i]; i += 1
             perm_ref = refs[i]; i += 1
             big_refs = {}
             for sidx in res_keys:
@@ -335,20 +377,48 @@ def make_resident_loop(meta, iters: int):
                 y2[pl.ds(Z - meta.n_long_rows, meta.n_long_rows), :] = u_rows
 
             # ---- outgather against y2 ---------------------------------
-            def og_body(u, _):
-                rows = pl.ds(u * RU, RU)
-                acc2 = None
-                for sk in range(meta.k_used):
-                    for k in range(RU):
-                        scr[pl.ds(k, 1), :] = \
-                            y2[pl.ds(src_ref[sk, u * RU + k], 1), :]
-                    pr = perm_ref[sk, rows, :]
-                    g = jnp.take_along_axis(scr[0:RU, :], pr, axis=1)
-                    acc2 = g if acc2 is None else acc2 + g
-                out_ref[rows, :] = acc2
-                return 0
+            if og_prog is not None:
+                # STATIC program: out_src is pack-time data, so the row
+                # assembly is fully specialized — runs of consecutive
+                # source rows become one block copy, rows shared by a run
+                # of blocks (bucket/rem slices span consecutive blocks)
+                # become one broadcast, and all-unused slots are skipped.
+                # This collapses the per-block (1,128) copy chain that
+                # issue-limits the dynamic outgather.
+                for u in range(meta.B_pad // RU):
+                    acc2 = None
+                    for sk, runs in enumerate(og_prog[u]):
+                        if runs is None:
+                            continue
+                        for kind, o, L, r in runs:
+                            if kind == "consec":
+                                scr[o:o + L, :] = y2[r:r + L, :]
+                            elif kind == "const":
+                                scr[o:o + L, :] = jnp.broadcast_to(
+                                    y2[r:r + 1, :], (L, LANES))
+                            else:
+                                scr[o:o + 1, :] = y2[r:r + 1, :]
+                        pr = perm_ref[sk, u * RU:(u + 1) * RU, :]
+                        g = jnp.take_along_axis(scr[0:RU, :], pr, axis=1)
+                        acc2 = g if acc2 is None else acc2 + g
+                    if acc2 is None:
+                        acc2 = jnp.zeros((RU, LANES), jnp.float32)
+                    out_ref[u * RU:(u + 1) * RU, :] = acc2
+            else:
+                def og_body(u, _):
+                    rows = pl.ds(u * RU, RU)
+                    acc2 = None
+                    for sk in range(meta.k_used):
+                        for k in range(RU):
+                            scr[pl.ds(k, 1), :] = \
+                                y2[pl.ds(src_ref[sk, u * RU + k], 1), :]
+                        pr = perm_ref[sk, rows, :]
+                        g = jnp.take_along_axis(scr[0:RU, :], pr, axis=1)
+                        acc2 = g if acc2 is None else acc2 + g
+                    out_ref[rows, :] = acc2
+                    return 0
 
-            jax.lax.fori_loop(0, meta.B_pad // RU, og_body, 0)
+                jax.lax.fori_loop(0, meta.B_pad // RU, og_body, 0)
 
             # ---- chain: perturb resident x by the fresh output --------
             x_scr[...] = x_scr[...] + out_ref[pl.ds(0, 1), :] * \
@@ -356,7 +426,7 @@ def make_resident_loop(meta, iters: int):
 
         return kernel
 
-    def build(arrays):
+    def build(arrays, iters):
         res = arrays["resident"]
         res_keys = sorted(res["bigs"].keys()) if meta.n_long else []
         nonlocal long_streams, tot_base, tacc
@@ -384,10 +454,11 @@ def make_resident_loop(meta, iters: int):
         x_spec_idx = len(in_specs)
         in_specs.append(pl.BlockSpec((S, LANES), lambda t: (0, 0),
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((meta.k_used, meta.B_pad),
-                                     lambda t: (0, 0),
-                                     memory_space=pltpu.SMEM))
-        operands.append(res["src_t"])
+        if og_prog is None:
+            in_specs.append(pl.BlockSpec((meta.k_used, meta.B_pad),
+                                         lambda t: (0, 0),
+                                         memory_space=pltpu.SMEM))
+            operands.append(res["src_t"])
         in_specs.append(pl.BlockSpec(
             (meta.k_used, meta.B_pad, LANES), lambda t: (0, 0, 0),
             memory_space=pltpu.VMEM))
@@ -417,7 +488,7 @@ def make_resident_loop(meta, iters: int):
         scratch.append(pltpu.VMEM((RU, LANES), jnp.float32))
 
         call = pl.pallas_call(
-            kernel_factory(res_keys),
+            kernel_factory(res_keys, og_prog),
             grid=(iters,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((meta.B_pad, LANES), lambda t: (0, 0),
@@ -431,8 +502,8 @@ def make_resident_loop(meta, iters: int):
         )
         return call, operands, x_spec_idx
 
-    def fn(arrays, x2d):
-        call, operands, _ = build(arrays)
+    def fn(arrays, x2d, iters):
+        call, operands, _ = build(arrays, iters)
         # operands list excludes x; insert it at its position
         full = []
         n_lead = 3 * n_streams
