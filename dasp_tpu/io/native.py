@@ -93,6 +93,24 @@ def _load():
         fn = getattr(lib, name, None)
         if fn is not None:
             fn.restype = None
+    if hasattr(lib, "dasp_pack_long"):
+        P = ctypes.POINTER
+        lib.dasp_pack_long.restype = ctypes.c_void_p
+        lib.dasp_pack_long.argtypes = [
+            ctypes.c_int64, P(ctypes.c_int64), P(ctypes.c_int64),
+            P(ctypes.c_int64), P(ctypes.c_double), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32]
+        lib.dasp_pack_long_dims.restype = None
+        lib.dasp_pack_long_dims.argtypes = [
+            ctypes.c_void_p, P(ctypes.c_int64), P(ctypes.c_int64),
+            P(ctypes.c_int64)]
+        lib.dasp_pack_long_export.restype = None
+        lib.dasp_pack_long_export.argtypes = [
+            ctypes.c_void_p, P(ctypes.c_double), P(ctypes.c_int32),
+            P(ctypes.c_int32), P(ctypes.c_int64), P(ctypes.c_int32),
+            P(ctypes.c_int64)]
+        lib.dasp_pack_long_free.restype = None
+        lib.dasp_pack_long_free.argtypes = [ctypes.c_void_p]
     try:
         lib.dasp_route_vregs.restype = None
         lib.dasp_route_vregs.argtypes = [
@@ -199,6 +217,59 @@ def col_perm(row_ptr, col_idx, values, newpos):
         out_col.ctypes.data_as(P(ctypes.c_int32)),
         out_val.ctypes.data_as(P(ctypes.c_double)))
     return out_col, out_val
+
+
+def pack_long(row_start, row_end, col, val, win_cap, p_cap, dyn_pad_max):
+    """Pack + route all long rows natively (wplan's long_elems/long_route
+    phases in one C++ call, OpenMP over rows).  Row r's elements live at
+    (col, val)[row_start[r]:row_end[r]] — rows need not be contiguous, so
+    long rows route ZERO-COPY from the full CSR streams.  Columns must be
+    sorted ascending within each row.  Returns (vals_tiles (V,8,128) f64,
+    idx_tiles (V,8,128) i32, wins_cat i32, win_off (V+1,) i64,
+    owner (V,) i32 row ordinals, dregs i64 absolute element indices).
+    None when the library lacks the entry point."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dasp_pack_long"):
+        return None
+    n_rows = row_start.size
+    row_start = np.ascontiguousarray(row_start, dtype=np.int64)
+    row_end = np.ascontiguousarray(row_end, dtype=np.int64)
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    val = np.ascontiguousarray(val, dtype=np.float64)
+    P = ctypes.POINTER
+    h = lib.dasp_pack_long(
+        n_rows, row_start.ctypes.data_as(P(ctypes.c_int64)),
+        row_end.ctypes.data_as(P(ctypes.c_int64)),
+        col.ctypes.data_as(P(ctypes.c_int64)),
+        val.ctypes.data_as(P(ctypes.c_double)),
+        win_cap, p_cap, dyn_pad_max)
+    try:
+        nv = ctypes.c_int64()
+        nw = ctypes.c_int64()
+        nd = ctypes.c_int64()
+        lib.dasp_pack_long_dims(h, ctypes.byref(nv), ctypes.byref(nw),
+                                ctypes.byref(nd))
+        vals_tiles = np.empty((nv.value, 8, 128), dtype=np.float64)
+        idx_tiles = np.empty((nv.value, 8, 128), dtype=np.int32)
+        wins_cat = np.empty(nw.value, dtype=np.int32)
+        win_off = np.empty(nv.value + 1, dtype=np.int64)
+        owner = np.empty(nv.value, dtype=np.int32)
+        dregs = np.empty(nd.value, dtype=np.int64)
+        lib.dasp_pack_long_export(
+            h, vals_tiles.ctypes.data_as(P(ctypes.c_double)),
+            idx_tiles.ctypes.data_as(P(ctypes.c_int32)),
+            wins_cat.ctypes.data_as(P(ctypes.c_int32)),
+            win_off.ctypes.data_as(P(ctypes.c_int64)),
+            owner.ctypes.data_as(P(ctypes.c_int32)),
+            dregs.ctypes.data_as(P(ctypes.c_int64)))
+    finally:
+        lib.dasp_pack_long_free(h)
+    return vals_tiles, idx_tiles, wins_cat, win_off, owner, dregs
+
+
+def has_pack_long() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "dasp_pack_long")
 
 
 def has_router() -> bool:

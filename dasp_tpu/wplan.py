@@ -1069,7 +1069,110 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         rows_sorted = bool(np.all(d[m] >= 0))
     else:
         rows_sorted = True
-    for row in scalar_owners:
+    # Native fast path: chunking decision, window bin-packing, routing and
+    # reject retries all happen in ONE C++ call parallelized over rows
+    # (native/router.cpp dasp_pack_long) — the numpy orchestration below
+    # is the semantics oracle and the no-toolchain fallback.  The
+    # reference's packers are likewise all-native OpenMP host loops
+    # (dasp_f16.h:1162-1446).
+    _nat = _native_router()
+    _native_long_done = False
+    if _nat is not None and scalar_owners and _nat.has_pack_long():
+        cls_tab = np.asarray(P_CLASSES + DYN_CLASSES, dtype=np.int64)
+
+        def _pack_call(rs, re_, base_c, base_v):
+            out = _nat.pack_long(rs, re_, base_c, base_v, LONG_WIN_CAP,
+                                 LONG_P_CAP, DYN_PAD_MAX)
+            vt_all, it_all, wins_cat, win_off, owner_ord, dregs = out
+            wcnt = np.maximum(np.diff(win_off), 1)
+            cls_arr = np.minimum(
+                cls_tab[np.searchsorted(cls_tab, wcnt, side="left")],
+                LONG_P_CAP)
+            return (vt_all, it_all, wins_cat, win_off, owner_ord,
+                    cls_arr, dregs)
+
+        res_long = res_frag = None
+        if long_rows.size:
+            if rows_sorted:
+                # zero-copy: route straight out of the CSR streams
+                rs = rpt[long_rows]
+                res_long = _pack_call(rs, rs + lens[long_rows],
+                                      cols_all, vals_all)
+                if res_long[6].size:       # dregs: absolute CSR positions
+                    d = res_long[6]
+                    ovf_r.append(np.searchsorted(rpt, d, side="right") - 1)
+                    ovf_c.append(cols_all[d])
+                    ovf_v.append(vals_all[d])
+            else:
+                parts_c = []
+                parts_v = []
+                for row in long_rows:
+                    base, ln = int(rpt[row]), int(lens[row])
+                    o = np.argsort(cols_all[base:base + ln], kind="stable")
+                    parts_c.append(cols_all[base:base + ln][o])
+                    parts_v.append(vals_all[base:base + ln][o])
+                cat_c = np.concatenate(parts_c)
+                cat_v = np.concatenate(parts_v)
+                off = np.zeros(long_rows.size + 1, dtype=np.int64)
+                np.cumsum(lens[long_rows], out=off[1:])
+                res_long = _pack_call(off[:-1], off[1:], cat_c, cat_v)
+                if res_long[6].size:
+                    d = res_long[6]
+                    ords = np.searchsorted(off, d, side="right") - 1
+                    ovf_r.append(long_rows[ords])
+                    ovf_c.append(cat_c[d])
+                    ovf_v.append(cat_v[d])
+        frag_rows = [r for r in scalar_owners if not is_long[r]]
+        if frag_rows:
+            parts_c = []
+            parts_v = []
+            for row in frag_rows:
+                colv, valv = frags[row]
+                o = np.argsort(colv, kind="stable")
+                parts_c.append(colv[o])
+                parts_v.append(valv[o])
+            cat_c = np.concatenate(parts_c)
+            cat_v = np.concatenate(parts_v)
+            szs = np.fromiter((c.size for c in parts_c), dtype=np.int64,
+                              count=len(parts_c))
+            off = np.zeros(szs.size + 1, dtype=np.int64)
+            np.cumsum(szs, out=off[1:])
+            res_frag = _pack_call(off[:-1], off[1:], cat_c, cat_v)
+            if res_frag[6].size:
+                d = res_frag[6]
+                ords = np.searchsorted(off, d, side="right") - 1
+                ovf_r.append(np.asarray(frag_rows, dtype=np.int64)[ords])
+                ovf_c.append(cat_c[d])
+                ovf_v.append(cat_v[d])
+        _pt('long_elems')
+
+        def _take(res, state, oi, row):
+            vt_all, it_all, wins_cat, win_off, owner_ord, cls_arr, _ = res
+            vi = state[0]
+            nv = owner_ord.size
+            by_cls: Dict[int, List] = {}
+            while vi < nv and owner_ord[vi] == oi:
+                wl = wins_cat[win_off[vi]:win_off[vi + 1]].astype(np.int64)
+                by_cls.setdefault(int(cls_arr[vi]), []).append(
+                    (vt_all[vi], it_all[vi], wl))
+                vi += 1
+            state[0] = vi
+            for cls, tiles in by_cls.items():
+                packets.append(_Packet("long", len(tiles), cls, tiles, row))
+
+        li = fi = 0
+        st_l, st_f = [0], [0]
+        for row in scalar_owners:
+            if is_long[row]:
+                _take(res_long, st_l, li, row)
+                li += 1
+            else:
+                _take(res_frag, st_f, fi, row)
+                fi += 1
+        _pt('long_route')
+        _native_long_done = True
+
+    for row in ([] if _native_long_done else scalar_owners):
         if is_long[row]:
             base, ln = int(rpt[row]), int(lens[row])
             colv = cols_all[base:base + ln]

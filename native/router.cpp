@@ -142,6 +142,235 @@ void RouteOne(const int32_t* lane, const int32_t* ipref, const int64_t* col,
   }
 }
 
+// ---------------------------------------------------------------------
+// Long-row packer: native equivalent of wplan.py's long_elems/long_route
+// phases (the pack-time hot path on long-heavy graphs — wikitalk-class
+// matrices spend ~80% of pack time there in the numpy orchestration).
+// Mirrors the reference's all-OpenMP host packing (dasp_f16.h:1162-1446)
+// in spirit: per-row work parallelized on the host.
+//
+// Per row (columns sorted ascending):
+//   1. chunking decision: sequential 1024-chunks when every chunk spans
+//      <= win_cap distinct 1024-windows, or when window-group bin-packing
+//      would need > dyn_pad_max x the base vreg count;
+//   2. otherwise first-fit-decreasing bin-packing of window groups
+//      (runs of equal col/1024, pre-chunked to <= 1024 elements) into
+//      vregs capped at 1024 slots and win_cap windows;
+//   3. route each vreg (RouteOne, stride 8, window budget p_cap);
+//   4. rejects re-sort by column and re-chunk into fresh vregs of the
+//      same row, twice; third-pass rejects are reported as dregs (the
+//      caller's COO fallback).
+}  // namespace
+
+struct RowPack {
+  std::vector<double> vals;        // n_vregs * 1024
+  std::vector<int32_t> idx;        // n_vregs * 1024
+  std::vector<int32_t> wins;       // ragged, win_counts[v] entries per vreg
+  std::vector<int32_t> win_counts; // n_vregs
+  std::vector<int64_t> dregs;      // global element indices (3rd-pass rejects)
+};
+
+struct LongPack {
+  std::vector<RowPack> rows;
+  int64_t n_vregs = 0, n_wins = 0, n_dregs = 0;
+};
+
+namespace {
+
+// Route one vreg worth of gathered elements and append results to out.
+// Returns the (local) indices of rejected elements.
+// position->lane / position->preferred-sublane tables for a full vreg
+// (identical for every vreg; shorter vregs use a prefix)
+struct PosTables {
+  int32_t lane[kVreg];
+  int32_t ipref[kVreg];
+  PosTables() {
+    for (int t = 0; t < kVreg; ++t) {
+      lane[t] = t % kLanes;
+      ipref[t] = (t / kLanes) % kSub;
+    }
+  }
+};
+const PosTables kPos;
+
+void RouteAppend(const int64_t* col, const double* val, const int64_t* gidx,
+                 int64_t n, int32_t p_cap, RowPack* out,
+                 std::vector<int64_t>* rej_gidx,
+                 std::vector<int64_t>* rej_col,
+                 std::vector<double>* rej_val, Scratch* s,
+                 std::vector<uint8_t>* ovf_buf,
+                 std::vector<int32_t>* win_buf) {
+  ovf_buf->resize(n);
+  win_buf->resize(p_cap);
+  const size_t base = out->vals.size();
+  out->vals.resize(base + kVreg);
+  out->idx.resize(base + kVreg);
+  int32_t wc = 0;
+  RouteOne(kPos.lane, kPos.ipref, col, val, n, p_cap,
+           kSub, out->vals.data() + base, out->idx.data() + base,
+           win_buf->data(), &wc, ovf_buf->data(), s);
+  out->win_counts.push_back(wc);
+  out->wins.insert(out->wins.end(), win_buf->begin(), win_buf->begin() + wc);
+  for (int64_t t = 0; t < n; ++t) {
+    if ((*ovf_buf)[t]) {
+      rej_gidx->push_back(gidx[t]);
+      rej_col->push_back(col[t]);
+      rej_val->push_back(val[t]);
+    }
+  }
+}
+
+void PackLongRow(const int64_t* col, const double* val, int64_t ln,
+                 int64_t gbase, int32_t win_cap, int32_t p_cap,
+                 int32_t dyn_pad_max, RowPack* out, Scratch* s) {
+  if (ln <= 0) return;
+  // window-run starts in the sorted column stream
+  std::vector<int64_t> starts;
+  starts.push_back(0);
+  for (int64_t e = 1; e < ln; ++e) {
+    if (col[e] / kVreg != col[e - 1] / kVreg) starts.push_back(e);
+  }
+  const int64_t n_win = static_cast<int64_t>(starts.size());
+  // max distinct windows in any sequential 1024-chunk
+  int64_t chunk_w = 0;
+  {
+    size_t ri = 0;  // first run with start > c0
+    for (int64_t c0 = 0; c0 < ln; c0 += kVreg) {
+      const int64_t c1 = std::min<int64_t>(c0 + kVreg, ln);
+      while (ri < starts.size() && starts[ri] <= c0) ++ri;
+      size_t rj = ri;
+      while (rj < starts.size() && starts[rj] < c1) ++rj;
+      chunk_w = std::max<int64_t>(chunk_w, static_cast<int64_t>(rj - ri) + 1);
+    }
+  }
+  bool sequential = chunk_w <= win_cap;
+  const int64_t nv_base = (ln + kVreg - 1) / kVreg;
+  if (!sequential) {
+    const int64_t nv_need =
+        std::max(nv_base, (n_win + win_cap - 1) / win_cap);
+    sequential = nv_need > static_cast<int64_t>(dyn_pad_max) * nv_base;
+  }
+
+  // emission buffers (gathered per vreg)
+  std::vector<int64_t> gcol, ggid;
+  std::vector<double> gval;
+  std::vector<int64_t> rej_g, rej_c;
+  std::vector<double> rej_v;
+  std::vector<int32_t> win_buf;
+  std::vector<uint8_t> ovf_buf;
+
+  if (sequential) {
+    for (int64_t c0 = 0; c0 < ln; c0 += kVreg) {
+      const int64_t c1 = std::min<int64_t>(c0 + kVreg, ln);
+      ggid.resize(c1 - c0);
+      for (int64_t t = c0; t < c1; ++t) ggid[t - c0] = gbase + t;
+      RouteAppend(col + c0, val + c0, ggid.data(), c1 - c0, p_cap, out,
+                  &rej_g, &rej_c, &rej_v, s, &ovf_buf, &win_buf);
+    }
+  } else {
+    // groups = window runs pre-chunked to <= 1024 elements
+    struct G {
+      int64_t lo, hi;
+    };
+    std::vector<G> groups;
+    for (int64_t gi = 0; gi < n_win; ++gi) {
+      const int64_t lo = starts[gi];
+      const int64_t hi = (gi + 1 < n_win) ? starts[gi + 1] : ln;
+      for (int64_t c0 = lo; c0 < hi; c0 += kVreg) {
+        groups.push_back({c0, std::min<int64_t>(c0 + kVreg, hi)});
+      }
+    }
+    std::stable_sort(groups.begin(), groups.end(),
+                     [](const G& a, const G& b) {
+                       return (a.hi - a.lo) > (b.hi - b.lo);
+                     });
+    struct Bin {
+      int64_t slots = 0;
+      int32_t nwin = 0;
+      std::vector<G> gs;
+    };
+    std::vector<Bin> bins;
+    for (const G& g : groups) {
+      const int64_t sz = g.hi - g.lo;
+      bool placed = false;
+      for (Bin& b : bins) {
+        if (b.slots + sz <= kVreg && b.nwin < win_cap) {
+          b.gs.push_back(g);
+          b.slots += sz;
+          b.nwin += 1;
+          placed = true;
+          break;
+        }
+      }
+      if (!placed) bins.push_back(Bin{sz, 1, {g}});
+    }
+    for (const Bin& b : bins) {
+      gcol.clear();
+      gval.clear();
+      ggid.clear();
+      for (const G& g : b.gs) {
+        for (int64_t t = g.lo; t < g.hi; ++t) {
+          gcol.push_back(col[t]);
+          gval.push_back(val[t]);
+          ggid.push_back(gbase + t);
+        }
+      }
+      RouteAppend(gcol.data(), gval.data(), ggid.data(),
+                  static_cast<int64_t>(gcol.size()), p_cap, out, &rej_g,
+                  &rej_c, &rej_v, s, &ovf_buf, &win_buf);
+    }
+  }
+
+  // reject retries: re-sort by column, re-chunk sequentially breaking at
+  // win_cap windows or 1024 slots, route into fresh vregs; depth 3 total.
+  for (int depth = 1; depth < 3 && !rej_g.empty(); ++depth) {
+    const int64_t n = static_cast<int64_t>(rej_g.size());
+    std::vector<int64_t> order(n);
+    for (int64_t i = 0; i < n; ++i) order[i] = i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) {
+                       return rej_c[a] < rej_c[b];
+                     });
+    std::vector<int64_t> sc(n), sg(n);
+    std::vector<double> sv(n);
+    for (int64_t i = 0; i < n; ++i) {
+      sc[i] = rej_c[order[i]];
+      sg[i] = rej_g[order[i]];
+      sv[i] = rej_v[order[i]];
+    }
+    rej_g.clear();
+    rej_c.clear();
+    rej_v.clear();
+    int64_t lo = 0;
+    while (lo < n) {
+      int32_t w_used = 1;
+      int64_t hi = lo + 1;
+      while (hi < n && hi < lo + kVreg) {
+        if (sc[hi] / kVreg != sc[hi - 1] / kVreg) {
+          if (w_used == win_cap) break;
+          ++w_used;
+        }
+        ++hi;
+      }
+      if (depth < 2) {
+        RouteAppend(sc.data() + lo, sv.data() + lo, sg.data() + lo,
+                    hi - lo, p_cap, out, &rej_g, &rej_c, &rej_v, s,
+                    &ovf_buf, &win_buf);
+      } else {
+        // final-depth vregs route once; their rejects become dregs
+        std::vector<int64_t> rg, rc;
+        std::vector<double> rv;
+        RouteAppend(sc.data() + lo, sv.data() + lo, sg.data() + lo,
+                    hi - lo, p_cap, out, &rg, &rc, &rv, s,
+                    &ovf_buf, &win_buf);
+        out->dregs.insert(out->dregs.end(), rg.begin(), rg.end());
+      }
+      lo = hi;
+    }
+  }
+  out->dregs.insert(out->dregs.end(), rej_g.begin(), rej_g.end());
+}
+
 }  // namespace
 
 extern "C" {
@@ -174,5 +403,88 @@ void dasp_route_vregs(int64_t n_vregs, const int64_t* offsets,
     }
   }
 }
+
+// Pack + route all long rows in one call.  Row r's elements live at
+// (col, val)[row_start[r] : row_end[r]] (rows need not be contiguous, so
+// long rows route zero-copy from the full CSR streams); columns must be
+// sorted ascending within each row.  Exported dreg indices are absolute
+// positions in the provided base arrays.  Returns an opaque handle; query sizes with
+// dasp_pack_long_dims, copy out with dasp_pack_long_export, release with
+// dasp_pack_long_free.
+void* dasp_pack_long(int64_t n_rows, const int64_t* row_start,
+                     const int64_t* row_end, const int64_t* col,
+                     const double* val, int32_t win_cap, int32_t p_cap,
+                     int32_t dyn_pad_max) {
+  auto* lp = new LongPack();
+  lp->rows.resize(n_rows);
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    Scratch s;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1)
+#endif
+    for (int64_t r = 0; r < n_rows; ++r) {
+      const int64_t lo = row_start[r], hi = row_end[r];
+      PackLongRow(col + lo, val + lo, hi - lo, lo, win_cap, p_cap,
+                  dyn_pad_max, &lp->rows[r], &s);
+    }
+  }
+  for (const RowPack& rp : lp->rows) {
+    lp->n_vregs += static_cast<int64_t>(rp.win_counts.size());
+    lp->n_wins += static_cast<int64_t>(rp.wins.size());
+    lp->n_dregs += static_cast<int64_t>(rp.dregs.size());
+  }
+  return lp;
+}
+
+void dasp_pack_long_dims(void* h, int64_t* n_vregs, int64_t* n_wins,
+                         int64_t* n_dregs) {
+  auto* lp = static_cast<LongPack*>(h);
+  *n_vregs = lp->n_vregs;
+  *n_wins = lp->n_wins;
+  *n_dregs = lp->n_dregs;
+}
+
+// vals_tiles: (n_vregs, 1024) f64; idx_tiles: (n_vregs, 1024) i32;
+// wins_cat: (n_wins,) i32 with win_off: (n_vregs+1,) i64 delimiters;
+// owner: (n_vregs,) i32 row ordinal; dregs: (n_dregs,) i64 global
+// element indices.  Vregs are emitted grouped by row, rows in input
+// order, and within a row in routing order (initial pass then retries).
+void dasp_pack_long_export(void* h, double* vals_tiles, int32_t* idx_tiles,
+                           int32_t* wins_cat, int64_t* win_off,
+                           int32_t* owner, int64_t* dregs) {
+  auto* lp = static_cast<LongPack*>(h);
+  int64_t v0 = 0, w0 = 0, d0 = 0;
+  win_off[0] = 0;
+  for (size_t r = 0; r < lp->rows.size(); ++r) {
+    const RowPack& rp = lp->rows[r];
+    const int64_t nv = static_cast<int64_t>(rp.win_counts.size());
+    if (nv) {
+      memcpy(vals_tiles + v0 * kVreg, rp.vals.data(),
+             sizeof(double) * nv * kVreg);
+      memcpy(idx_tiles + v0 * kVreg, rp.idx.data(),
+             sizeof(int32_t) * nv * kVreg);
+    }
+    if (!rp.wins.empty()) {
+      memcpy(wins_cat + w0, rp.wins.data(),
+             sizeof(int32_t) * rp.wins.size());
+    }
+    for (int64_t v = 0; v < nv; ++v) {
+      owner[v0 + v] = static_cast<int32_t>(r);
+      win_off[v0 + v + 1] = win_off[v0 + v] + rp.win_counts[v];
+    }
+    if (!rp.dregs.empty()) {
+      memcpy(dregs + d0, rp.dregs.data(),
+             sizeof(int64_t) * rp.dregs.size());
+    }
+    v0 += nv;
+    w0 += static_cast<int64_t>(rp.wins.size());
+    d0 += static_cast<int64_t>(rp.dregs.size());
+  }
+}
+
+void dasp_pack_long_free(void* h) { delete static_cast<LongPack*>(h); }
 
 }  // extern "C"
