@@ -51,6 +51,10 @@ RESIDENT_BUDGET = 96 * 1024 * 1024
 VMEM_LIMIT = 128 * 1024 * 1024
 SMEM_BUDGET = 512 * 1024
 SEG_CHUNK = 8        # slices folded per segment-loop step
+# f64 long rows: a scalar summing k vreg totals through the f32 incidence
+# matmul carries ~k*2^-24 relative accumulation error; cap k so the bound
+# stays ~20x inside the 1e-5 contract (k=64 -> ~4e-6 worst case).
+DD_LONG_FANIN_MAX = 64
 
 
 def _ru(interpret: bool) -> int:
@@ -68,11 +72,12 @@ def resident_bytes(meta, arrays) -> int:
             if k != "wins":
                 n += a.nbytes if hasattr(a, "nbytes") else 0
     n += arrays["out_perm"].nbytes
-    n += meta.s_rows * LANES * 4 * 2          # x operand + x scratch
+    pair = 2 if meta.dtype == "f64" else 1    # dd carries hi/lo pairs
+    n += meta.s_rows * LANES * 4 * 2 * pair   # x operand + x scratch
     part_rows = sum(NV * (SUB // st) for _, st, NV in meta.streams)
-    n += part_rows * LANES * 4                # partials scratch
-    n += (meta.n_y2_rows + 1) * LANES * 4     # y2 scratch
-    n += meta.B_pad * LANES * 4               # output
+    n += part_rows * LANES * 4 * pair         # partials scratch
+    n += (meta.n_y2_rows + 1) * LANES * 4 * pair   # y2 scratch
+    n += meta.B_pad * LANES * 4 * pair        # output
     res = arrays.get("resident")
     if res:
         for a in res.get("bigs", {}).values():
@@ -94,8 +99,15 @@ def smem_bytes(meta, arrays) -> int:
 
 
 def eligible(meta, arrays) -> bool:
-    """Resident mode preconditions (structural; size checked separately)."""
-    if meta.dtype not in ("f32", "bf16"):
+    """Resident mode preconditions (structural; size checked separately).
+
+    f64 (double-double) is eligible too: the kernel carries hi/lo pairs
+    end to end (colsum products, segment folds, lane folds), except the
+    long-row vreg->scalar composition whose 0/1-incidence matmul
+    accumulates each scalar's vreg totals in f32.  ``prepare`` gates that
+    path on fan-in (see DD_LONG_FANIN_MAX) so the accumulated error stays
+    ~1e-6, well inside the reference's 1e-5 contract (main_f64.cu:8)."""
+    if meta.dtype not in ("f32", "bf16", "f64"):
         return False
     if any(P > 32 for P, _, _ in meta.streams):
         return False               # dynamic-round streams stay HBM-streamed
@@ -143,6 +155,10 @@ def prepare(meta, arrays) -> None:
                 vv = vv[vv < NV_pad]
                 np.add.at(big[p], vv, 1.0)
         res["bigs"] = bigs
+        if meta.dtype == "f64":
+            fanin = sum(b.sum(axis=1) for b in bigs.values())
+            if float(np.max(fanin)) > DD_LONG_FANIN_MAX:
+                return            # error bound blown: stay HBM-streamed
         # scalars (P_pad,1) -> (n_long_rows, 128) 127-packed rows:
         #   U = RowSel @ (s * LaneSel)
         rows = meta.n_long_rows
@@ -223,6 +239,10 @@ def make_resident_loop(meta, src_static=None):
     long_streams = []
     tot_base, tacc = {}, 0
 
+    DD = meta.dtype == "f64"
+    if DD:
+        from . import dd
+
     def kernel_factory(res_keys, og_prog):
         have_long = bool(meta.n_long)
 
@@ -230,9 +250,16 @@ def make_resident_loop(meta, src_static=None):
             i = 0
             wins, vals, idx = [], [], []
             for _ in range(n_streams):
-                wins.append(refs[i]); vals.append(refs[i + 1])
-                idx.append(refs[i + 2]); i += 3
-            x_in = refs[i]; i += 1
+                wins.append(refs[i]); i += 1
+                if DD:
+                    vals.append((refs[i], refs[i + 1])); i += 2
+                else:
+                    vals.append(refs[i]); i += 1
+                idx.append(refs[i]); i += 1
+            if DD:
+                x_in = (refs[i], refs[i + 1]); i += 2
+            else:
+                x_in = refs[i]; i += 1
             if og_prog is None:
                 src_ref = refs[i]; i += 1
             perm_ref = refs[i]; i += 1
@@ -242,20 +269,36 @@ def make_resident_loop(meta, src_static=None):
             if have_long:
                 rowsel_ref = refs[i]; i += 1
                 lanesel_ref = refs[i]; i += 1
-            out_ref = refs[i]; i += 1
-            x_scr = refs[i]; i += 1
-            part = refs[i]; i += 1
-            y2 = refs[i]; i += 1
-            if have_long:
-                tot = refs[i]; i += 1
-            scr = refs[i]; i += 1
+            if DD:
+                out_ref = (refs[i], refs[i + 1]); i += 2
+                x_scr = (refs[i], refs[i + 1]); i += 2
+                part = (refs[i], refs[i + 1]); i += 2
+                y2 = (refs[i], refs[i + 1]); i += 2
+                if have_long:
+                    tot = (refs[i], refs[i + 1]); i += 2
+                scr = (refs[i], refs[i + 1]); i += 2
+            else:
+                out_ref = refs[i]; i += 1
+                x_scr = refs[i]; i += 1
+                part = refs[i]; i += 1
+                y2 = refs[i]; i += 1
+                if have_long:
+                    tot = refs[i]; i += 1
+                scr = refs[i]; i += 1
 
             t = pl.program_id(0)
 
             @pl.when(t == 0)
             def _init():
-                x_scr[...] = x_in[...]
-                y2[pl.ds(Z, 1), :] = jnp.zeros((1, LANES), jnp.float32)
+                if DD:
+                    x_scr[0][...] = x_in[0][...]
+                    x_scr[1][...] = x_in[1][...]
+                    z1 = jnp.zeros((1, LANES), jnp.float32)
+                    y2[0][pl.ds(Z, 1), :] = z1
+                    y2[1][pl.ds(Z, 1), :] = z1
+                else:
+                    x_scr[...] = x_in[...]
+                    y2[pl.ds(Z, 1), :] = jnp.zeros((1, LANES), jnp.float32)
 
             # ---- colsum into partials scratch -------------------------
             for si, (P, stride, NV) in enumerate(meta.streams):
@@ -266,26 +309,53 @@ def make_resident_loop(meta, src_static=None):
                 def cs_body(u, _, P=P, R=R, stride=stride, base=base,
                             w_ref=w_ref, v_ref=v_ref, i_ref=i_ref):
                     parts = []
+                    parts_l = []
                     for k in range(RU):
                         v = u * RU + k
                         ix = i_ref[pl.ds(v * SUB, SUB), :].astype(jnp.int32)
-                        va = v_ref[pl.ds(v * SUB, SUB), :]
                         lam = jax.lax.bitwise_and(ix, 127)
                         q = jax.lax.bitwise_and(
                             jax.lax.shift_right_logical(ix, 7), 7)
-                        if P == 1:
-                            w = pl.multiple_of(w_ref[1, v], SUB)
-                            xw = x_scr[pl.ds(w, SUB), :]
+
+                        def gat(tab, p):
+                            w = pl.multiple_of(w_ref[1 + p, v], SUB)
+                            xw = tab[pl.ds(w, SUB), :]
                             g = jnp.take_along_axis(xw, q, axis=0)
-                            g = jnp.take_along_axis(g, lam, axis=1)
+                            return jnp.take_along_axis(g, lam, axis=1)
+
+                        if DD:
+                            vh = v_ref[0][pl.ds(v * SUB, SUB), :]
+                            vl = v_ref[1][pl.ds(v * SUB, SUB), :]
+                            if P == 1:
+                                gh = gat(x_scr[0], 0)
+                                gl = gat(x_scr[1], 0)
+                            else:
+                                rnd = jax.lax.shift_right_logical(ix, 10)
+                                gh = gl = None
+                                for p in range(P):
+                                    ph_ = gat(x_scr[0], p)
+                                    pl_ = gat(x_scr[1], p)
+                                    if gh is None:
+                                        gh, gl = ph_, pl_
+                                    else:
+                                        gh = jnp.where(rnd == p, ph_, gh)
+                                        gl = jnp.where(rnd == p, pl_, gl)
+                            ph_, pl_ = dd.mul(vh, vl, gh, gl)
+                            for L in range(R):
+                                sh, sl = dd.sum_axis(
+                                    ph_[L * stride:(L + 1) * stride],
+                                    pl_[L * stride:(L + 1) * stride], 0)
+                                parts.append(sh[None])
+                                parts_l.append(sl[None])
+                            continue
+                        va = v_ref[pl.ds(v * SUB, SUB), :]
+                        if P == 1:
+                            g = gat(x_scr, 0)
                         else:
                             rnd = jax.lax.shift_right_logical(ix, 10)
                             terms = []
                             for p in range(P):
-                                w = pl.multiple_of(w_ref[1 + p, v], SUB)
-                                xw = x_scr[pl.ds(w, SUB), :]
-                                gp = jnp.take_along_axis(xw, q, axis=0)
-                                gp = jnp.take_along_axis(gp, lam, axis=1)
+                                gp = gat(x_scr, p)
                                 terms.append(jnp.where(rnd == p, gp, 0.0))
                             while len(terms) > 1:
                                 terms = [terms[j] + terms[j + 1]
@@ -297,8 +367,14 @@ def make_resident_loop(meta, src_static=None):
                             parts.append(jnp.sum(
                                 prod[L * stride:(L + 1) * stride], axis=0,
                                 keepdims=True))
-                    part[pl.ds(base + u * RU * R, RU * R), :] = \
-                        jnp.concatenate(parts, 0)
+                    if DD:
+                        part[0][pl.ds(base + u * RU * R, RU * R), :] = \
+                            jnp.concatenate(parts, 0)
+                        part[1][pl.ds(base + u * RU * R, RU * R), :] = \
+                            jnp.concatenate(parts_l, 0)
+                    else:
+                        part[pl.ds(base + u * RU * R, RU * R), :] = \
+                            jnp.concatenate(parts, 0)
                     return 0
 
                 jax.lax.fori_loop(0, NV // RU, cs_body, 0)
@@ -318,13 +394,34 @@ def make_resident_loop(meta, src_static=None):
                 # with segments longer than one chunk.
                 def fold(i0, count, seg_row=seg_row, base=base,
                          rows_per=rows_per, w8=w8, R=R, F=F):
-                    v = part[pl.ds(base + i0 * rows_per, count * rows_per), :]
+                    sl_rows = pl.ds(base + i0 * rows_per, count * rows_per)
+                    dst = pl.ds(seg_row + i0 * R, count * R)
+                    if DD:
+                        vh = part[0][sl_rows, :]
+                        vl = part[1][sl_rows, :]
+                        if w8 == 1 and F == 1:
+                            fh, fl = vh, vl
+                        else:
+                            sh = vh.reshape(count, w8, R, F, LANES)
+                            sl_ = vl.reshape(count, w8, R, F, LANES)
+                            if F > 1:
+                                sh, sl_ = dd.sum_axis(sh, sl_, 3)
+                            else:
+                                sh = sh.reshape(count, w8, R, LANES)
+                                sl_ = sl_.reshape(count, w8, R, LANES)
+                            sh, sl_ = dd.sum_axis(sh, sl_, 1)
+                            fh = sh.reshape(count * R, LANES)
+                            fl = sl_.reshape(count * R, LANES)
+                        y2[0][dst, :] = fh
+                        y2[1][dst, :] = fl
+                        return
+                    v = part[sl_rows, :]
                     if w8 == 1 and F == 1:
                         f = v
                     else:
                         f = v.reshape(count, w8, R, F, LANES).sum((1, 3)) \
                              .reshape(count * R, LANES)
-                    y2[pl.ds(seg_row + i0 * R, count * R), :] = f
+                    y2[dst, :] = f
 
                 nfull = n_slices // SEG_CHUNK
                 tail = n_slices % SEG_CHUNK
@@ -344,6 +441,11 @@ def make_resident_loop(meta, src_static=None):
             # totals rows hold per-lane partial sums; the lane fold is an
             # all-ones MXU matmul fused into the scalar composition.
             if have_long:
+                def mm(a, b):
+                    return jnp.dot(a, b,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
                 for si in long_streams:
                     P, stride, NV = meta.streams[si]
                     R_st = SUB // stride
@@ -351,32 +453,76 @@ def make_resident_loop(meta, src_static=None):
                     tb = tot_base[si]
 
                     def tl_body(u, _, base=base, R_st=R_st, tb=tb):
-                        v = part[pl.ds(base + u * RU * R_st, RU * R_st), :]
-                        tv = v.reshape(RU, R_st, LANES).sum(axis=1)
-                        tot[pl.ds(tb + u * RU, RU), :] = tv
+                        rows = pl.ds(base + u * RU * R_st, RU * R_st)
+                        dst = pl.ds(tb + u * RU, RU)
+                        if DD:
+                            th, tl = dd.sum_axis(
+                                part[0][rows, :].reshape(RU, R_st, LANES),
+                                part[1][rows, :].reshape(RU, R_st, LANES),
+                                1)
+                            tot[0][dst, :] = th
+                            tot[1][dst, :] = tl
+                        else:
+                            v = part[rows, :]
+                            tot[dst, :] = \
+                                v.reshape(RU, R_st, LANES).sum(axis=1)
                         return 0
 
                     jax.lax.fori_loop(0, NV // RU, tl_body, 0)
-                s_row = None
-                for si in long_streams:
-                    NV = meta.streams[si][2]
-                    term = jnp.dot(big_refs[si][...],
-                                   tot[pl.ds(tot_base[si], NV), :],
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
-                    s_row = term if s_row is None else s_row + term
-                # broadcast the per-scalar lane sum across lanes, then
-                # scatter scalars to their 127-packed (row, lane) homes
-                ones = jnp.ones((LANES, LANES), jnp.float32)
-                s_b = jnp.dot(s_row, ones,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-                u_rows = jnp.dot(rowsel_ref[...], s_b * lanesel_ref[...],
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-                y2[pl.ds(Z - meta.n_long_rows, meta.n_long_rows), :] = u_rows
+                if DD:
+                    # hi/lo pass separately through the 0/1 incidence
+                    # matmul (fan-in gated in ``prepare``); streams
+                    # combine with compensated adds
+                    s_h = s_l = None
+                    for si in long_streams:
+                        NV = meta.streams[si][2]
+                        th = mm(big_refs[si][...],
+                                tot[0][pl.ds(tot_base[si], NV), :])
+                        tl = mm(big_refs[si][...],
+                                tot[1][pl.ds(tot_base[si], NV), :])
+                        if s_h is None:
+                            s_h, s_l = th, tl
+                        else:
+                            s_h, s_l = dd.add(s_h, s_l, th, tl)
+                    # dd lane fold: log2(128) rotate-and-add passes keep
+                    # every intermediate full-width (Mosaic rejects
+                    # rank-1/1-lane shapes), leaving the total in every
+                    # lane — the scatter matmuls below are then exact
+                    # one-hot selections
+                    for shft in (64, 32, 16, 8, 4, 2, 1):
+                        rh = jnp.roll(s_h, shft, axis=1)
+                        rl = jnp.roll(s_l, shft, axis=1)
+                        s_h, s_l = dd.add(s_h, s_l, rh, rl)
+                    dst = pl.ds(Z - meta.n_long_rows, meta.n_long_rows)
+                    lsel = lanesel_ref[...]
+                    y2[0][dst, :] = mm(rowsel_ref[...], s_h * lsel)
+                    y2[1][dst, :] = mm(rowsel_ref[...], s_l * lsel)
+                else:
+                    s_row = None
+                    for si in long_streams:
+                        NV = meta.streams[si][2]
+                        term = mm(big_refs[si][...],
+                                  tot[pl.ds(tot_base[si], NV), :])
+                        s_row = term if s_row is None else s_row + term
+                    # broadcast the per-scalar lane sum across lanes, then
+                    # scatter scalars to their 127-packed (row, lane) homes
+                    ones = jnp.ones((LANES, LANES), jnp.float32)
+                    s_b = mm(s_row, ones)
+                    u_rows = mm(rowsel_ref[...], s_b * lanesel_ref[...])
+                    y2[pl.ds(Z - meta.n_long_rows, meta.n_long_rows), :] = \
+                        u_rows
 
             # ---- outgather against y2 ---------------------------------
+            def scr_fill(dst_scr, src_y2, runs):
+                for kind, o, L, r in runs:
+                    if kind == "consec":
+                        dst_scr[o:o + L, :] = src_y2[r:r + L, :]
+                    elif kind == "const":
+                        dst_scr[o:o + L, :] = jnp.broadcast_to(
+                            src_y2[r:r + 1, :], (L, LANES))
+                    else:
+                        dst_scr[o:o + 1, :] = src_y2[r:r + 1, :]
+
             if og_prog is not None:
                 # STATIC program: out_src is pack-time data, so the row
                 # assembly is fully specialized — runs of consecutive
@@ -390,39 +536,73 @@ def make_resident_loop(meta, src_static=None):
                     for sk, runs in enumerate(og_prog[u]):
                         if runs is None:
                             continue
-                        for kind, o, L, r in runs:
-                            if kind == "consec":
-                                scr[o:o + L, :] = y2[r:r + L, :]
-                            elif kind == "const":
-                                scr[o:o + L, :] = jnp.broadcast_to(
-                                    y2[r:r + 1, :], (L, LANES))
-                            else:
-                                scr[o:o + 1, :] = y2[r:r + 1, :]
                         pr = perm_ref[sk, u * RU:(u + 1) * RU, :]
-                        g = jnp.take_along_axis(scr[0:RU, :], pr, axis=1)
-                        acc2 = g if acc2 is None else acc2 + g
-                    if acc2 is None:
-                        acc2 = jnp.zeros((RU, LANES), jnp.float32)
-                    out_ref[u * RU:(u + 1) * RU, :] = acc2
+                        if DD:
+                            scr_fill(scr[0], y2[0], runs)
+                            scr_fill(scr[1], y2[1], runs)
+                            gh = jnp.take_along_axis(scr[0][0:RU, :], pr,
+                                                     axis=1)
+                            gl = jnp.take_along_axis(scr[1][0:RU, :], pr,
+                                                     axis=1)
+                            acc2 = ((gh, gl) if acc2 is None
+                                    else dd.add(acc2[0], acc2[1], gh, gl))
+                        else:
+                            scr_fill(scr, y2, runs)
+                            g = jnp.take_along_axis(scr[0:RU, :], pr,
+                                                    axis=1)
+                            acc2 = g if acc2 is None else acc2 + g
+                    rows = slice(u * RU, (u + 1) * RU)
+                    if DD:
+                        zz = jnp.zeros((RU, LANES), jnp.float32)
+                        ah, al = acc2 if acc2 is not None else (zz, zz)
+                        out_ref[0][rows, :] = ah
+                        out_ref[1][rows, :] = al
+                    else:
+                        if acc2 is None:
+                            acc2 = jnp.zeros((RU, LANES), jnp.float32)
+                        out_ref[rows, :] = acc2
             else:
                 def og_body(u, _):
                     rows = pl.ds(u * RU, RU)
                     acc2 = None
                     for sk in range(meta.k_used):
-                        for k in range(RU):
-                            scr[pl.ds(k, 1), :] = \
-                                y2[pl.ds(src_ref[sk, u * RU + k], 1), :]
+                        if DD:
+                            for k in range(RU):
+                                r = pl.ds(src_ref[sk, u * RU + k], 1)
+                                scr[0][pl.ds(k, 1), :] = y2[0][r, :]
+                                scr[1][pl.ds(k, 1), :] = y2[1][r, :]
+                        else:
+                            for k in range(RU):
+                                scr[pl.ds(k, 1), :] = \
+                                    y2[pl.ds(src_ref[sk, u * RU + k], 1), :]
                         pr = perm_ref[sk, rows, :]
-                        g = jnp.take_along_axis(scr[0:RU, :], pr, axis=1)
-                        acc2 = g if acc2 is None else acc2 + g
-                    out_ref[rows, :] = acc2
+                        if DD:
+                            gh = jnp.take_along_axis(scr[0][0:RU, :], pr,
+                                                     axis=1)
+                            gl = jnp.take_along_axis(scr[1][0:RU, :], pr,
+                                                     axis=1)
+                            acc2 = ((gh, gl) if acc2 is None
+                                    else dd.add(acc2[0], acc2[1], gh, gl))
+                        else:
+                            g = jnp.take_along_axis(scr[0:RU, :], pr,
+                                                    axis=1)
+                            acc2 = g if acc2 is None else acc2 + g
+                    if DD:
+                        out_ref[0][rows, :] = acc2[0]
+                        out_ref[1][rows, :] = acc2[1]
+                    else:
+                        out_ref[rows, :] = acc2
                     return 0
 
                 jax.lax.fori_loop(0, meta.B_pad // RU, og_body, 0)
 
             # ---- chain: perturb resident x by the fresh output --------
-            x_scr[...] = x_scr[...] + out_ref[pl.ds(0, 1), :] * \
-                jnp.float32(1e-36)
+            if DD:
+                x_scr[0][...] = x_scr[0][...] + \
+                    out_ref[0][pl.ds(0, 1), :] * jnp.float32(1e-36)
+            else:
+                x_scr[...] = x_scr[...] + out_ref[pl.ds(0, 1), :] * \
+                    jnp.float32(1e-36)
 
         return kernel
 
@@ -443,17 +623,26 @@ def make_resident_loop(meta, src_static=None):
             in_specs.append(pl.BlockSpec((P + 1, NV), lambda t: (0, 0),
                                          memory_space=pltpu.SMEM))
             operands.append(res["wins_t"][si])
-            in_specs.append(pl.BlockSpec((NV * SUB, LANES),
-                                         lambda t: (0, 0),
-                                         memory_space=pltpu.VMEM))
-            operands.append(st["vals"])
+            vspec = pl.BlockSpec((NV * SUB, LANES), lambda t: (0, 0),
+                                 memory_space=pltpu.VMEM)
+            if DD:
+                in_specs.append(vspec)
+                operands.append(st["vals_hi"])
+                in_specs.append(vspec)
+                operands.append(st["vals_lo"])
+            else:
+                in_specs.append(vspec)
+                operands.append(st["vals"])
             in_specs.append(pl.BlockSpec((NV * SUB, LANES),
                                          lambda t: (0, 0),
                                          memory_space=pltpu.VMEM))
             operands.append(st["idx"])
         x_spec_idx = len(in_specs)
-        in_specs.append(pl.BlockSpec((S, LANES), lambda t: (0, 0),
-                                     memory_space=pltpu.VMEM))
+        xspec = pl.BlockSpec((S, LANES), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM)
+        in_specs.append(xspec)
+        if DD:
+            in_specs.append(xspec)
         if og_prog is None:
             in_specs.append(pl.BlockSpec((meta.k_used, meta.B_pad),
                                          lambda t: (0, 0),
@@ -478,23 +667,26 @@ def make_resident_loop(meta, src_static=None):
                                          memory_space=pltpu.VMEM))
             operands.append(res["lanesel"])
 
-        scratch = [
-            pltpu.VMEM((S, LANES), jnp.float32),          # x_scr
-            pltpu.VMEM((PART_ROWS, LANES), jnp.float32),  # partials
-            pltpu.VMEM((R2, LANES), jnp.float32),         # y2
-        ]
+        rep = 2 if DD else 1
+        scratch = []
+        scratch += [pltpu.VMEM((S, LANES), jnp.float32)] * rep  # x_scr
+        scratch += [pltpu.VMEM((PART_ROWS, LANES),
+                               jnp.float32)] * rep              # partials
+        scratch += [pltpu.VMEM((R2, LANES), jnp.float32)] * rep  # y2
         if meta.n_long:
-            scratch.append(pltpu.VMEM((max(tacc, 8), LANES), jnp.float32))
-        scratch.append(pltpu.VMEM((RU, LANES), jnp.float32))
+            scratch += [pltpu.VMEM((max(tacc, 8), LANES),
+                                   jnp.float32)] * rep
+        scratch += [pltpu.VMEM((RU, LANES), jnp.float32)] * rep
 
+        ospec = pl.BlockSpec((meta.B_pad, LANES), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct((meta.B_pad, LANES), jnp.float32)
         call = pl.pallas_call(
             kernel_factory(res_keys, og_prog),
             grid=(iters,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((meta.B_pad, LANES), lambda t: (0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((meta.B_pad, LANES),
-                                           jnp.float32),
+            out_specs=(ospec, ospec) if DD else ospec,
+            out_shape=(oshape, oshape) if DD else oshape,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),
@@ -506,11 +698,41 @@ def make_resident_loop(meta, src_static=None):
         call, operands, _ = build(arrays, iters)
         # operands list excludes x; insert it at its position
         full = []
-        n_lead = 3 * n_streams
+        n_lead = (4 if DD else 3) * n_streams
         full.extend(operands[:n_lead])
-        full.append(x2d)
+        if DD:
+            full.append(x2d["hi"])
+            full.append(x2d["lo"])
+        else:
+            full.append(x2d)
         full.extend(operands[n_lead:])
         out = call(*full)
+        if DD:
+            from . import dd
+            yh = out[0].reshape(-1)[:meta.n_rows]
+            yl = out[1].reshape(-1)[:meta.n_rows]
+            if arrays["overflow"] is not None:
+                # mirror of the streamed dd overflow correction
+                # (pallas_backend._spmv_dd): per-row compensated tree
+                # sums placed exactly, then one dd add
+                o = arrays["overflow"]
+                gh = jnp.take(x2d["hi"].reshape(-1), o["cols"],
+                              mode="clip")
+                gl = jnp.take(x2d["lo"].reshape(-1), o["cols"],
+                              mode="clip")
+                ph, plo = dd.mul(o["vals_hi"], o["vals_lo"], gh, gl,
+                                 safe=True)
+                ph = jnp.concatenate([ph, jnp.zeros(1, jnp.float32)])
+                plo = jnp.concatenate([plo, jnp.zeros(1, jnp.float32)])
+                th = jnp.take(ph, o["tree"], mode="clip")
+                tl = jnp.take(plo, o["tree"], mode="clip")
+                rh, rl = dd.sum_axis(th, tl, 1, safe=True)
+                zh = jnp.zeros_like(yh).at[o["tree_rows"]].set(
+                    rh, mode="drop")
+                zl = jnp.zeros_like(yl).at[o["tree_rows"]].set(
+                    rl, mode="drop")
+                yh, yl = dd.add(yh, yl, zh, zl, safe=True)
+            return dict(hi=yh, lo=yl)
         y = out.reshape(-1)[:meta.n_rows]
         if arrays["overflow"] is not None:
             o = arrays["overflow"]

@@ -77,9 +77,47 @@ def test_dyn_stream_plans_not_resident():
     op = _op(csr)
     if any(P > 32 for P, _, _ in op._meta.streams):
         assert not op.resident
-    # f64 never resident (dd path)
-    op64 = _op(circuit_like(1000, np.random.default_rng(6)), "f64")
-    assert not op64.resident
+
+
+@pytest.mark.parametrize("builder,seed", [
+    (lambda rng: mixed_categories(500, rng), 10),
+    (lambda rng: circuit_like(2000, rng), 11),
+    (lambda rng: powerlaw_like(1500, 1.8, 700, rng, col_alpha=1.8), 12),
+])
+def test_resident_dd_matches_golden(builder, seed):
+    """f64 (double-double) resident path: hi/lo carried end to end; the
+    long-row composition's f32 incidence matmul is fan-in gated so even
+    long rows stay far inside the 1e-5 contract (main_f64.cu:8)."""
+    from dasp_tpu.ops import dd
+    rng = np.random.default_rng(seed)
+    csr = builder(rng)
+    op = _op(csr, "f64")
+    assert op.resident, "dd plans at suite scale must be resident-eligible"
+    x = rng.standard_normal(csr.n_cols)
+    golden = csr.spmv(x)
+    y_call = op(x)                         # streamed dd path
+    loop = op.timing_loop(1)
+    out = loop(op._prep_x(x))
+    y_res = op.perm_out(dd.to_f64(np.asarray(out["hi"]),
+                                  np.asarray(out["lo"])))
+    scale = max(1.0, np.abs(golden).max())
+    np.testing.assert_allclose(y_call, golden, rtol=0, atol=1e-10 * scale)
+    # resident dd: dd-accurate except the gated long-row matmul (~1e-6)
+    np.testing.assert_allclose(y_res, golden, rtol=0, atol=2e-6 * scale)
+
+
+def test_resident_dd_fanin_gate():
+    """A long row whose vreg fan-in exceeds DD_LONG_FANIN_MAX must fall
+    back to the streamed dd path (error bound would be blown)."""
+    rng = np.random.default_rng(13)
+    n = 140000
+    lens = np.full(n, 1, dtype=np.int64)
+    lens[0] = (resident.DD_LONG_FANIN_MAX + 4) * 1024   # ~70 vregs
+    from dasp_tpu.sparse import random_csr
+    csr = random_csr(n, n, lens, rng)
+    op = _op(csr, "f64")
+    if op._meta.n_long and all(P <= 32 for P, _, _ in op._meta.streams):
+        assert not op.resident
 
 
 def test_budget_gate():
