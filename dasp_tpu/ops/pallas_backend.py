@@ -1101,7 +1101,12 @@ class PallasSpMV:
 # per-slab SpMVs.  (Single-chip; the row dimension is the multi-chip axis.)
 # ---------------------------------------------------------------------------
 
-SLAB_COLS = 1_048_576     # 1M columns -> (8192,128) f32 table = 4 MB VMEM
+# 6M columns -> (47k,128) f32 table = 24 MB VMEM (48 MB as a dd hi/lo
+# pair), comfortably inside the 128 MB VMEM next to the streamed-mode
+# per-step blocks.  wiki-Talk (2.39M) and soc-LiveJournal1 (4.85M) run
+# UNSLABBED; the multi-x SpMM path has its own tighter table gate
+# (PallasSpMV._spmm_kv).
+SLAB_COLS = 6_291_456
 
 
 def split_columns(csr, slab_cols: int = SLAB_COLS):

@@ -52,8 +52,10 @@ VMEM_LIMIT = 128 * 1024 * 1024
 SMEM_BUDGET = 512 * 1024
 SEG_CHUNK = 8        # slices folded per segment-loop step
 # f64 long rows: a scalar summing k vreg totals through the f32 incidence
-# matmul carries ~k*2^-24 relative accumulation error; cap k so the bound
-# stays ~20x inside the 1e-5 contract (k=64 -> ~4e-6 worst case).
+# matmul carries ~k*2^-24 relative accumulation error; cap k per matmul
+# LEVEL at 64 (~4e-6 worst case per level).  Rows over the cap use a
+# two-level cascade (see ``prepare``), supporting fan-ins to 64*64 vregs
+# (~4 Mnnz rows) at ~8e-6 worst case -- still inside the 1e-5 contract.
 DD_LONG_FANIN_MAX = 64
 
 
@@ -80,8 +82,12 @@ def resident_bytes(meta, arrays) -> int:
     n += meta.B_pad * LANES * 4 * pair        # output
     res = arrays.get("resident")
     if res:
-        for a in res.get("bigs", {}).values():
-            n += a.nbytes
+        split = res.get("split", {})
+        for si, a in res.get("bigs", {}).items():
+            if si in split:       # split streams ship big1+big2, not big
+                n += split[si][0].nbytes + split[si][1].nbytes
+            else:
+                n += a.nbytes
         if res.get("rowsel") is not None:
             n += res["rowsel"].nbytes + res["lanesel"].nbytes
     return n
@@ -105,13 +111,47 @@ def eligible(meta, arrays) -> bool:
     end to end (colsum products, segment folds, lane folds), except the
     long-row vreg->scalar composition whose 0/1-incidence matmul
     accumulates each scalar's vreg totals in f32.  ``prepare`` gates that
-    path on fan-in (see DD_LONG_FANIN_MAX) so the accumulated error stays
+    path per matmul level (see DD_LONG_FANIN_MAX), splitting high-fan-in
+    streams into a two-level cascade, so the accumulated error stays
     ~1e-6, well inside the reference's 1e-5 contract (main_f64.cu:8)."""
     if meta.dtype not in ("f32", "bf16", "f64"):
         return False
     if any(P > 32 for P, _, _ in meta.streams):
         return False               # dynamic-round streams stay HBM-streamed
     return True
+
+
+def split_incidence(big, W):
+    """Split an incidence matrix whose per-row add count (nonzero
+    columns) exceeds ``W`` into a two-level cascade ``big == big2 @
+    big1`` where every row of ``big1`` (up to W of one scalar's nonzero
+    columns) and of ``big2`` (0/1 per-scalar chunk sums) has at most W
+    nonzeros -- so each f32 matmul level accumulates at most W adds.
+    Returns None when no row exceeds W (single matmul is fine), "over"
+    when even the cascade cannot cap level 2 (> W*W adds in a row),
+    else the ``(big1, big2)`` float32 pair."""
+    adds = (big != 0).sum(axis=1)
+    if int(adds.max(initial=0)) <= W:
+        return None
+    if int(adds.max()) > W * W:
+        return "over"
+    P_pad2, NV_pad2 = big.shape
+    rows1, owner = [], []
+    for p in range(P_pad2):
+        nz = np.nonzero(big[p])[0]
+        for c0 in range(0, nz.size, W):       # chunk the row's OWN
+            row = np.zeros(NV_pad2, np.float32)   # nonzeros, not fixed
+            cols = nz[c0:c0 + W]                  # column blocks: level-2
+            row[cols] = big[p, cols]              # fan-in = ceil(adds/W)
+            rows1.append(row)
+            owner.append(p)
+    B1 = len(rows1)
+    B1_pad = -(-max(B1, 1) // SUB) * SUB
+    big1 = np.zeros((B1_pad, NV_pad2), np.float32)
+    big1[:B1] = np.array(rows1)
+    big2 = np.zeros((P_pad2, B1_pad), np.float32)
+    big2[owner, np.arange(B1)] = 1.0
+    return big1, big2
 
 
 def prepare(meta, arrays) -> None:
@@ -155,10 +195,21 @@ def prepare(meta, arrays) -> None:
                 vv = vv[vv < NV_pad]
                 np.add.at(big[p], vv, 1.0)
         res["bigs"] = bigs
+        res["split"] = {}
         if meta.dtype == "f64":
-            fanin = sum(b.sum(axis=1) for b in bigs.values())
-            if float(np.max(fanin)) > DD_LONG_FANIN_MAX:
-                return            # error bound blown: stay HBM-streamed
+            # The incidence matmul f32-accumulates one add per nonzero
+            # column; when a scalar's add count exceeds DD_LONG_FANIN_MAX,
+            # split that stream's incidence into a two-level cascade
+            # big2 @ big1 (column-block partials, then per-scalar sums)
+            # so each level stays under the cap regardless of total
+            # fan-in (error ~2*cap*2^-24, still ~10x inside the 1e-5
+            # contract of main_f64.cu:8).
+            for si, big in bigs.items():
+                pair = split_incidence(big, DD_LONG_FANIN_MAX)
+                if pair == "over":
+                    return    # >W*W vregs (~64 Mnnz) in one row: streamed
+                if pair is not None:
+                    res["split"][si] = pair
         # scalars (P_pad,1) -> (n_long_rows, 128) 127-packed rows:
         #   U = RowSel @ (s * LaneSel)
         rows = meta.n_long_rows
@@ -243,7 +294,7 @@ def make_resident_loop(meta, src_static=None):
     if DD:
         from . import dd
 
-    def kernel_factory(res_keys, og_prog):
+    def kernel_factory(res_keys, og_prog, split_keys=frozenset()):
         have_long = bool(meta.n_long)
 
         def kernel(*refs):
@@ -265,7 +316,10 @@ def make_resident_loop(meta, src_static=None):
             perm_ref = refs[i]; i += 1
             big_refs = {}
             for sidx in res_keys:
-                big_refs[sidx] = refs[i]; i += 1
+                if sidx in split_keys:
+                    big_refs[sidx] = (refs[i], refs[i + 1]); i += 2
+                else:
+                    big_refs[sidx] = refs[i]; i += 1
             if have_long:
                 rowsel_ref = refs[i]; i += 1
                 lanesel_ref = refs[i]; i += 1
@@ -476,10 +530,17 @@ def make_resident_loop(meta, src_static=None):
                     s_h = s_l = None
                     for si in long_streams:
                         NV = meta.streams[si][2]
-                        th = mm(big_refs[si][...],
-                                tot[0][pl.ds(tot_base[si], NV), :])
-                        tl = mm(big_refs[si][...],
-                                tot[1][pl.ds(tot_base[si], NV), :])
+                        t_h = tot[0][pl.ds(tot_base[si], NV), :]
+                        t_l = tot[1][pl.ds(tot_base[si], NV), :]
+                        br = big_refs[si]
+                        if isinstance(br, tuple):
+                            # fan-in > cap: two-level cascade (prepare)
+                            b1, b2 = br[0][...], br[1][...]
+                            th = mm(b2, mm(b1, t_h))
+                            tl = mm(b2, mm(b1, t_l))
+                        else:
+                            th = mm(br[...], t_h)
+                            tl = mm(br[...], t_l)
                         if s_h is None:
                             s_h, s_l = th, tl
                         else:
@@ -652,11 +713,12 @@ def make_resident_loop(meta, src_static=None):
             (meta.k_used, meta.B_pad, LANES), lambda t: (0, 0, 0),
             memory_space=pltpu.VMEM))
         operands.append(arrays["out_perm"])
+        split = res.get("split", {}) if meta.n_long else {}
         for si in res_keys:
-            big = res["bigs"][si]
-            in_specs.append(pl.BlockSpec(big.shape, lambda t: (0, 0),
-                                         memory_space=pltpu.VMEM))
-            operands.append(big)
+            for big in (split[si] if si in split else (res["bigs"][si],)):
+                in_specs.append(pl.BlockSpec(big.shape, lambda t: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                operands.append(big)
         if meta.n_long:
             in_specs.append(pl.BlockSpec(res["rowsel"].shape,
                                          lambda t: (0, 0),
@@ -682,7 +744,7 @@ def make_resident_loop(meta, src_static=None):
                              memory_space=pltpu.VMEM)
         oshape = jax.ShapeDtypeStruct((meta.B_pad, LANES), jnp.float32)
         call = pl.pallas_call(
-            kernel_factory(res_keys, og_prog),
+            kernel_factory(res_keys, og_prog, frozenset(split)),
             grid=(iters,),
             in_specs=in_specs,
             out_specs=(ospec, ospec) if DD else ospec,

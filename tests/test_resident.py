@@ -106,18 +106,54 @@ def test_resident_dd_matches_golden(builder, seed):
     np.testing.assert_allclose(y_res, golden, rtol=0, atol=2e-6 * scale)
 
 
-def test_resident_dd_fanin_gate():
-    """A long row whose vreg fan-in exceeds DD_LONG_FANIN_MAX must fall
-    back to the streamed dd path (error bound would be blown)."""
-    rng = np.random.default_rng(13)
-    n = 140000
-    lens = np.full(n, 1, dtype=np.int64)
-    lens[0] = (resident.DD_LONG_FANIN_MAX + 4) * 1024   # ~70 vregs
+def test_split_incidence_cascade():
+    """High-fan-in incidence matrices split into big2 @ big1 with every
+    level's per-row add count capped at W and EXACT reconstruction (the
+    kernel's cascade is then algebraically the single matmul, with the
+    f32 accumulation error bounded per level instead of per row)."""
+    rng = np.random.default_rng(7)
+    W = 8
+    big = np.zeros((16, 256), np.float32)
+    for p in range(11):
+        cols = rng.choice(256, size=rng.integers(1, 60), replace=False)
+        big[p, cols] = rng.integers(1, 4, cols.size)
+    assert (big != 0).sum(axis=1).max() > W
+    big1, big2 = resident.split_incidence(big, W)
+    assert np.array_equal(big2 @ big1, big)          # exact: 0/1 selection
+    assert (big1 != 0).sum(axis=1).max() <= W
+    assert (big2 != 0).sum(axis=1).max() <= W
+    assert big1.shape[0] % 8 == 0 and big2.shape == (16, big1.shape[0])
+    # below the cap: no split needed
+    assert resident.split_incidence(big, 64) is None
+    # beyond W*W blocks per row: cascade cannot cap level 2
+    wide = np.zeros((8, 64), np.float32)
+    wide[0, :] = 1.0
+    assert resident.split_incidence(wide, 2) == "over"
+
+
+def test_resident_dd_split_kernel(monkeypatch):
+    """Force the cascade on a real plan (one 150k-nnz row; cap lowered to
+    2 so its 3-vreg scalar splits) and golden-check the resident kernel
+    end to end with the split active."""
+    from dasp_tpu.ops import dd
     from dasp_tpu.sparse import random_csr
+    monkeypatch.setattr(resident, "DD_LONG_FANIN_MAX", 2)
+    rng = np.random.default_rng(3)
+    n = 2000
+    lens = rng.integers(1, 6, n)
+    lens[0] = 150_000
     csr = random_csr(n, n, lens, rng)
     op = _op(csr, "f64")
-    if op._meta.n_long and all(P <= 32 for P, _, _ in op._meta.streams):
-        assert not op.resident
+    assert op.resident
+    res = op._arrays["resident"]
+    assert res["split"], "the lowered cap must trigger a split"
+    x = rng.standard_normal(n)
+    golden = csr.spmv(x)
+    out = op.timing_loop(1)(op._prep_x(x))
+    y = op.perm_out(dd.to_f64(np.asarray(out["hi"]),
+                              np.asarray(out["lo"])))
+    scale = max(1.0, np.abs(golden).max())
+    np.testing.assert_allclose(y, golden, rtol=0, atol=2e-6 * scale)
 
 
 def test_budget_gate():
