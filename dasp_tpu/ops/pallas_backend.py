@@ -146,9 +146,10 @@ KV_SPMM = 4      # x vectors per multi-vector colsum pass (SpMM): the A
                  # KV vectors instead of once per vector
 SPMM_X_VMEM_BYTES = 8 << 20   # budget for the multi-x kernel's stacked x
                  # tables (one un-blocked VMEM operand; see
-                 # PallasSpMV._spmm_kv) — half the slab-gated 4 MB/table
-                 # max times KV_SPMM would be 16 MB, too much alongside
-                 # the A-stream pipeline buffers
+                 # PallasSpMV._spmm_kv): stays far under the SpMV x-table
+                 # ceiling because KV_SPMM tables ride alongside the
+                 # A-stream pipeline buffers; wide-column SpMM falls back
+                 # to the vmapped single-x path (kv halving)
 
 
 def _make_colsum_multi(P: int, S: int, NV: int, interpret: bool,

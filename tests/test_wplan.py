@@ -442,3 +442,46 @@ def test_relabel_sym_save_load(tmp_path, rng):
     x = rng.standard_normal(csr.n_cols)
     np.testing.assert_allclose(_emulate(plan2, x), csr.spmv(x),
                                rtol=1e-11, atol=1e-11)
+
+
+def test_bfs_perm_mesh_locality(rng):
+    """BFS (Cuthill-McKee-style) relabel: a scrambled 2D grid Laplacian
+    — uniform degree, so first-touch degenerates to a degree sort — must
+    recover window locality via the BFS candidate, stay a valid
+    permutation, and keep the operator transparent."""
+    from dasp_tpu.relabel import bfs_perm, choose_relabel, window_spread
+    from dasp_tpu.sparse import from_coo
+    side = 120
+    n = side * side
+    scramble = rng.permutation(n)
+    ii, jj = np.divmod(np.arange(n), side)
+    rows, cols = [], []
+    for di, dj in ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0)):
+        ni, nj = ii + di, jj + dj
+        ok = (0 <= ni) & (ni < side) & (0 <= nj) & (nj < side)
+        rows.append(scramble[(ii * side + jj)[ok]])
+        cols.append(scramble[(ni * side + nj)[ok]])
+    rows, cols = np.concatenate(rows), np.concatenate(cols)
+    csr = from_coo(n, n, rows, cols, rng.standard_normal(rows.size))
+    perm = bfs_perm(csr)
+    assert perm is not None
+    assert np.array_equal(np.sort(perm), np.arange(n))   # a permutation
+    sp0 = window_spread(csr)
+    sp1 = window_spread(csr, perm, symmetric=True)
+    assert sp1 < 0.5 * sp0, (sp0, sp1)
+    # auto policy picks it up for the scrambled mesh
+    chosen = choose_relabel(csr, symmetric=True)
+    assert chosen is not None
+    # non-square input: no BFS
+    from dasp_tpu.sparse import random_csr
+    rect = random_csr(64, 256, np.full(64, 4), rng)
+    assert bfs_perm(rect) is None
+    # end-to-end transparency with the symmetric relabel active
+    from dasp_tpu.config import DaspConfig
+    from dasp_tpu.ops.pallas_backend import PallasSpMV
+    op = PallasSpMV(csr, dtype="f32", config=DaspConfig(relabel="auto"))
+    x = rng.standard_normal(n)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(op(x) / scale, golden / scale,
+                               rtol=2e-5, atol=2e-5)
