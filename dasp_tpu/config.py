@@ -54,6 +54,19 @@ class DaspConfig:
         carries ``col_perm`` and x is permuted host-side in ``prep_x``.
         Windowed (Pallas) backend only; the XLA executor ignores it.
       relabel_hub_deg: minimum column degree to count as a hub.
+      row_sort: "auto", "off" or "on" — group rows into 128-row SELL
+        blocks by length class (stable descending-length order), the TPU
+        analog of the reference's ``order_rid`` row regrouping
+        (``dasp_f64.h:959-976``).  Mixed-length blocks pad every row to
+        the block width and push tails into 3x-filled spill slices;
+        length grouping collapses both.  Free at run time: the
+        block-aligned outgather already indirects, the plan just carries
+        ``row_perm`` and y is un-permuted in ``perm_out``.  "auto"
+        applies it only when columns are scattered anyway (window spread
+        already high — banded matrices would lose their locality) and
+        the quantized-width model predicts a real fill saving, and never
+        on top of a symmetric relabel (which needs row order == column
+        order for on-device iteration).
     """
 
     block_longest: int = 256
@@ -67,6 +80,7 @@ class DaspConfig:
     # 4 won the pack-cost sweep on wikitalk-like/square power-law
     # (P-weighted vreg cost ratios 0.709-0.773 vs 0.746-0.788 at 8)
     relabel_hub_deg: int = 4
+    row_sort: str = "auto"
 
     def __post_init__(self):
         if self.block_longest < 5:
@@ -88,6 +102,8 @@ class DaspConfig:
         if self.relabel not in ("auto", "off", "first_touch"):
             raise ValueError(
                 "relabel must be 'auto', 'off' or 'first_touch'")
+        if self.row_sort not in ("auto", "off", "on"):
+            raise ValueError("row_sort must be 'auto', 'off' or 'on'")
 
 
 DEFAULT_CONFIG = DaspConfig()

@@ -138,6 +138,8 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NV * R, LANES), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
     )
 
 
@@ -224,6 +226,8 @@ def _make_colsum_multi(P: int, S: int, NV: int, interpret: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((kv, NV * R, LANES), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
     )
 
 
@@ -278,6 +282,8 @@ def _make_colsum_dyn(P: int, S: int, NV: int, interpret: bool):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NV, LANES), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
     )
 
 
@@ -339,6 +345,8 @@ def _make_colsum_dyn_dd(P: int, S: int, NV: int, interpret: bool):
         out_shape=(jax.ShapeDtypeStruct((NV, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((NV, LANES), jnp.float32)),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
     )
 
 
@@ -429,6 +437,8 @@ def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool,
         out_shape=(jax.ShapeDtypeStruct((NV * R, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((NV * R, LANES), jnp.float32)),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
     )
 
 
@@ -486,6 +496,8 @@ def _make_outgather_dd(B: int, R2: int, K: int, interpret: bool):
         scratch_shapes=[pltpu.VMEM((UNROLL, LANES), jnp.float32),
                         pltpu.VMEM((UNROLL, LANES), jnp.float32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
     )
 
 
@@ -535,6 +547,8 @@ def _make_outgather(B: int, R2: int, K: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((B, LANES), jnp.float32),
         scratch_shapes=[pltpu.VMEM((UNROLL, LANES), jnp.float32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
     )
 
 
@@ -1142,8 +1156,12 @@ class SlabbedPallasSpMV:
         self.n_rows, self.n_cols, self.nnz = csr.n_rows, csr.n_cols, csr.nnz
         self.dtype = dtype
         self.slabs = []
+        import dataclasses as _dc
+        # per-slab y's sum elementwise, so every slab must keep original
+        # row order: no symmetric relabel, no row length-grouping
+        cfg = _dc.replace(config or DEFAULT_CONFIG, row_sort="off")
         for lo, sub in split_columns(csr, slab_cols):
-            plan = build_wplan(sub, config or DEFAULT_CONFIG, sym_ok=False)
+            plan = build_wplan(sub, cfg, sym_ok=False)
             meta, arrays = plan_to_arrays(plan, dtype)
             self.slabs.append((lo, sub.n_cols, meta,
                                jax.device_put(arrays), plan.col_perm))

@@ -255,6 +255,10 @@ class WMultiChipSpMV:
                 else:
                     csr = apply_col_perm(csr, self.col_perm)
             config = _dc.replace(config, relabel="off")
+        # slab y's are stitched back by row range, so per-slab plans must
+        # keep slab-local row order (no independent length-grouping)
+        import dataclasses as _dc3
+        config = _dc3.replace(config, row_sort="off")
 
         # contiguous slabs of whole 128-row blocks, nnz-balanced
         raw = partition_rows(csr, self.n_devices)

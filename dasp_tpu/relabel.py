@@ -135,15 +135,38 @@ def bfs_perm(csr: CSRMatrix, max_seeds: int = 1024):
         return None
     n = csr.n_rows
     deg = csr.row_lengths.astype(np.int64)
+    # Pre-gate: BFS locality needs a mostly SYMMETRIC pattern (meshes,
+    # undirected graphs).  Sample edges and check their transposes exist
+    # — directed power-law dumps fail here in microseconds instead of
+    # fragmenting through max_seeds components.
+    nz = np.flatnonzero(deg)
+    if nz.size == 0:
+        return None
+    samp = np.linspace(0, csr.nnz - 1, num=min(512, csr.nnz),
+                       dtype=np.int64)
+    s_rows = np.searchsorted(csr.row_ptr, samp, side="right") - 1
+    s_cols = csr.col_idx[samp].astype(np.int64)
+    hits = 0
+    for r, c in zip(s_rows, s_cols):
+        lo, hi = csr.row_ptr[c], csr.row_ptr[c + 1]
+        # membership scan (columns within a row are NOT guaranteed sorted)
+        hits += bool(np.any(csr.col_idx[lo:hi] == r))
+    if hits < 0.5 * samp.size:
+        return None
     visited = deg == 0                    # isolated rows: appended last
     order = np.empty(n, dtype=np.int64)
     pos = 0
     rpt = csr.row_ptr
+    # seed scan cursor over ascending-degree order: total O(n) across
+    # all components instead of O(n) per component
+    seed_scan = nz[np.argsort(deg[nz], kind="stable")]
+    cursor = 0
     for _ in range(max_seeds):
-        unv = np.flatnonzero(~visited)
-        if unv.size == 0:
+        while cursor < seed_scan.size and visited[seed_scan[cursor]]:
+            cursor += 1
+        if cursor >= seed_scan.size:
             break
-        seed = unv[np.argmin(deg[unv])]
+        seed = seed_scan[cursor]
         visited[seed] = True
         order[pos] = seed
         pos += 1
@@ -206,6 +229,84 @@ def first_touch_perm(csr: CSRMatrix, hub_min_deg: int = 4) -> np.ndarray:
     order = np.concatenate([hubs, tail, untouched])
     newpos[order] = np.arange(csr.n_cols)
     return newpos
+
+
+def row_sort_perm(csr: CSRMatrix):
+    """``newpos`` (old row id -> new row id) grouping rows by length
+    class: stable descending-length order, the TPU analog of the
+    reference's ``order_rid`` regrouping (``dasp_f64.h:959-976``).
+    Long rows lead, then mediums by length, shorts, zero rows last —
+    every 128-row SELL block sees near-uniform lengths, so the adaptive
+    width fits all rows and the spill mass collapses.  Returns None when
+    rows are already length-ordered."""
+    lens = csr.row_lengths
+    order = np.argsort(-lens.astype(np.int64), kind="stable")
+    if np.array_equal(order, np.arange(csr.n_rows)):
+        return None
+    newpos = np.empty(csr.n_rows, dtype=np.int64)
+    newpos[order] = np.arange(csr.n_rows)
+    return newpos
+
+
+def choose_row_sort(csr: CSRMatrix, block_longest: int = 256,
+                    save_min: float = 0.10, spread_slack: float = 1.3,
+                    sample: int = 4_000_000):
+    """The row_sort="auto" policy: apply the length grouping when
+    (a) a quantized-SELL-width model predicts at least ``save_min`` fill
+    saving from uniform-length blocks, and (b) the sorted order does not
+    scramble window locality (measured directly: the (block, window)
+    pair count after sorting may grow at most ``spread_slack``x).
+    Banded matrices fail (b) — their locality correlates with row index;
+    popularity-localized graphs (webbase: hub columns) pass — their
+    locality is row-invariant."""
+    n = csr.n_rows
+    if n < 8 * 128 or csr.nnz == 0:
+        return None
+    lens = np.minimum(csr.row_lengths.astype(np.int64), block_longest - 1)
+
+    def cost(v):
+        nb = (v.size // 128) * 128
+        if nb == 0:
+            return 1.0
+        mx = v[:nb].reshape(-1, 128).max(axis=1)
+        q = np.exp2(np.ceil(np.log2(np.maximum(mx, 1))))
+        return float(q.sum())
+    c_now = cost(lens)
+    c_sorted = cost(np.sort(lens)[::-1])
+    if c_sorted > (1.0 - save_min) * c_now:
+        return None
+    perm = row_sort_perm(csr)
+    if perm is None:
+        return None
+    rows = np.repeat(np.arange(n, dtype=np.int64), csr.row_lengths)
+    cols = csr.col_idx.astype(np.int64)
+    if rows.size > sample:
+        step = rows.size // sample
+        rows, cols = rows[::step], cols[::step]
+    W = (csr.n_cols >> 10) + 1
+    sp_now = _distinct_pairs(rows >> 7, cols >> 10, W)
+    sp_sorted = _distinct_pairs(perm[rows] >> 7, cols >> 10, W)
+    if sp_sorted > spread_slack * sp_now:
+        return None
+    return perm
+
+
+def apply_row_perm(csr: CSRMatrix, newpos: np.ndarray) -> CSRMatrix:
+    """Permute ROWS only (columns untouched): new row ``newpos[r]`` is
+    old row ``r``.  One flat gather — column order within rows is
+    preserved, so no re-sort is needed."""
+    n = csr.n_rows
+    order = np.empty(n, dtype=np.int64)
+    order[newpos] = np.arange(n)
+    lens = csr.row_lengths.astype(np.int64)
+    counts = lens[order]
+    new_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=new_ptr[1:])
+    total = int(new_ptr[-1])
+    starts = csr.row_ptr[order].astype(np.int64)
+    flat = np.repeat(starts - new_ptr[:-1], counts) + np.arange(total)
+    return CSRMatrix(n, csr.n_cols, new_ptr,
+                     csr.col_idx[flat], csr.values[flat])
 
 
 def _rowcol_order(rows: np.ndarray, cols: np.ndarray, n_rows: int,

@@ -184,11 +184,13 @@ class WPlan:
                                   np.arange(self.n_cols)), \
                 "col_perm must be a permutation"
         if self.row_perm is not None:
-            assert self.col_perm is not None, \
-                "row_perm is only produced by the symmetric relabel"
-            assert self.row_perm is self.col_perm or np.array_equal(
-                self.row_perm, self.col_perm), \
-                "symmetric relabel requires row_perm == col_perm"
+            # Two producers: the symmetric relabel (row_perm == col_perm,
+            # shared x/y space) or the independent row length-grouping
+            # (order_rid analog; col_perm may be None or differ).
+            assert self.row_perm.shape == (self.n_rows,)
+            assert np.array_equal(np.sort(self.row_perm),
+                                  np.arange(self.n_rows)), \
+                "row_perm must be a permutation"
 
 
 # ---------------------------------------------------------------------------
@@ -407,6 +409,17 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                    else apply_col_perm(csr, col_perm))
             col_perm = col_perm.astype(np.int32)
             row_perm = col_perm if sym else None
+    # Independent row length-grouping (the reference's order_rid,
+    # dasp_f64.h:959-976): never on top of a symmetric relabel — that
+    # would break the shared x/y index space on-device iteration needs.
+    if config.row_sort != "off" and csr.nnz and row_perm is None:
+        from .relabel import (apply_row_perm, choose_row_sort,
+                              row_sort_perm)
+        rs = (row_sort_perm(csr) if config.row_sort == "on"
+              else choose_row_sort(csr, config.block_longest))
+        if rs is not None:
+            csr = apply_row_perm(csr, rs)
+            row_perm = rs.astype(np.int32)
     n = csr.n_rows
     lens = csr.row_lengths.astype(np.int64)
     rpt = csr.row_ptr.astype(np.int64)
@@ -1878,7 +1891,12 @@ def save_wplan(plan: WPlan, path) -> None:
     arrays["out_perm"] = plan.out_perm
     if plan.col_perm is not None:
         arrays["col_perm"] = plan.col_perm
-    meta["sym_perm"] = plan.row_perm is not None
+    sym = (plan.row_perm is not None and plan.col_perm is not None
+           and (plan.row_perm is plan.col_perm
+                or np.array_equal(plan.row_perm, plan.col_perm)))
+    meta["sym_perm"] = sym
+    if plan.row_perm is not None and not sym:
+        arrays["row_perm"] = plan.row_perm      # independent row sort
     if plan.overflow is not None:
         arrays["ovf_rpt"] = plan.overflow.row_ptr
         arrays["ovf_cid"] = plan.overflow.col_idx
@@ -1915,5 +1933,7 @@ def load_wplan(path) -> WPlan:
         col_perm=z["col_perm"] if "col_perm" in z else None)
     if meta.get("sym_perm"):
         plan.row_perm = plan.col_perm
+    elif "row_perm" in z:
+        plan.row_perm = z["row_perm"]
     plan.check()
     return plan

@@ -145,7 +145,10 @@ def main():
     dtype = sys.argv[2] if len(sys.argv) > 2 else "f64"
     rng = np.random.default_rng(0)
     csr = build_spd(n, rng)
-    op = dasp_tpu.SpMVOperator(csr, dtype=dtype, backend="pallas")
+    op = dasp_tpu.SpMVOperator(csr, dtype=dtype, backend="pallas",
+                         # on-device iteration feeds y back into x: keep one
+                         # shared index space (no independent row grouping)
+                         config=dasp_tpu.DaspConfig(row_sort="off"))
     x_true = rng.standard_normal(n)
     b = csr.spmv(x_true)
 

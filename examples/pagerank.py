@@ -79,7 +79,10 @@ def main():
     csr = build_transition(n, rng)
     print(f"graph: {n} nodes, {csr.nnz} edges")
     t0 = time.time()
-    op = dasp_tpu.SpMVOperator(csr, dtype="f32", backend="pallas")
+    op = dasp_tpu.SpMVOperator(csr, dtype="f32", backend="pallas",
+                         # on-device iteration feeds y back into x: keep one
+                         # shared index space (no independent row grouping)
+                         config=dasp_tpu.DaspConfig(row_sort="off"))
     print(f"pack+compile setup: {time.time() - t0:.1f}s")
     pagerank(op)                           # compile warmup (same trace)
     t0 = time.time()

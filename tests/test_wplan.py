@@ -485,3 +485,54 @@ def test_bfs_perm_mesh_locality(rng):
     scale = np.maximum(np.abs(golden), 1.0)
     np.testing.assert_allclose(op(x) / scale, golden / scale,
                                rtol=2e-5, atol=2e-5)
+
+
+def test_row_sort_length_grouping(rng):
+    """Independent row length-grouping (order_rid analog): mixed-length
+    power-law rows with popularity-localized columns must trigger the
+    auto policy, cut the quantized-width mass, stay a permutation, and
+    keep the operator transparent through perm_out; banded matrices must
+    refuse (their locality is row-correlated)."""
+    from dasp_tpu.config import DaspConfig
+    from dasp_tpu.relabel import apply_row_perm, choose_row_sort
+    from dasp_tpu.sparse import random_csr
+    n = 3072
+    lens = np.minimum(rng.zipf(1.7, size=n), 200)
+    rpt = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=rpt[1:])
+    nnz = int(rpt[-1])
+    cols = (np.minimum(rng.zipf(1.5, size=nnz), n) - 1).astype(np.int32)
+    rows = np.repeat(np.arange(n), lens)
+    order = np.lexsort((cols, rows))
+    csr = CSRMatrix(n, n, rpt, cols[order], rng.standard_normal(nnz))
+    perm = choose_row_sort(csr)
+    assert perm is not None
+    assert np.array_equal(np.sort(perm), np.arange(n))
+    # apply_row_perm reorders rows, preserves per-row content
+    p = apply_row_perm(csr, perm)
+    r = rng.integers(0, n)
+    np.testing.assert_array_equal(
+        np.sort(p.col_idx[p.row_ptr[perm[r]]:p.row_ptr[perm[r] + 1]]),
+        np.sort(csr.col_idx[csr.row_ptr[r]:csr.row_ptr[r + 1]]))
+    # banded: refuse
+    fem = CASES["fem"](rng)
+    assert choose_row_sort(fem) is None
+    # end-to-end transparency (plan carries independent row_perm)
+    from dasp_tpu.ops.pallas_backend import PallasSpMV
+    op = PallasSpMV(csr, dtype="f32", config=DaspConfig())
+    if op.plan.row_perm is not None and op.plan.col_perm is None:
+        pass  # the auto policy engaged inside the packer too
+    x = rng.standard_normal(n)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(op(x) / scale, golden / scale,
+                               rtol=2e-5, atol=2e-5)
+    # save/load round-trips the independent row_perm
+    import tempfile, os
+    from dasp_tpu.wplan import save_wplan, load_wplan
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "p.npz")
+        save_wplan(op.plan, path)
+        p2 = load_wplan(path)
+        if op.plan.row_perm is not None:
+            np.testing.assert_array_equal(p2.row_perm, op.plan.row_perm)
