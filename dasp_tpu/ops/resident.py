@@ -88,6 +88,10 @@ def resident_bytes(meta, arrays) -> int:
                 n += split[si][0].nbytes + split[si][1].nbytes
             else:
                 n += a.nbytes
+        # f32-upcast value copies replace the bf16 streams (whose 2-byte
+        # sizes were already counted above): add the difference
+        for a in res.get("vals32", []):
+            n += a.nbytes // 2
         if res.get("rowsel") is not None:
             n += res["rowsel"].nbytes + res["lanesel"].nbytes
     return n
@@ -224,10 +228,22 @@ def prepare(meta, arrays) -> None:
     res["wins_t"] = [np.ascontiguousarray(st["wins"].T)
                      for st in arrays["streams"]]
     res["src_t"] = np.ascontiguousarray(arrays["out_src"].T)
+    if meta.dtype == "bf16":
+        # bf16's halved value stream only pays for HBM bandwidth; once
+        # resident in VMEM the per-use bf16->f32 unpack costs VPU time
+        # in the compute-bound kernel (measured: cop20k bf16 72 GF vs
+        # f32 119 GF).  Upcast the resident copy to f32 when the bigger
+        # footprint still fits; keep bf16 when that is what makes the
+        # plan fit at all.
+        res["vals32"] = [st["vals"].astype(np.float32)
+                         for st in arrays["streams"]]
     arrays["resident"] = res
     if (resident_bytes(meta, arrays) > RESIDENT_BUDGET
             or smem_bytes(meta, arrays) > SMEM_BUDGET):
-        arrays["resident"] = None
+        res.pop("vals32", None)
+        if (resident_bytes(meta, arrays) > RESIDENT_BUDGET
+                or smem_bytes(meta, arrays) > SMEM_BUDGET):
+            arrays["resident"] = None
 
 
 def _og_program(src_np, Z: int, RU: int):
@@ -693,7 +709,8 @@ def make_resident_loop(meta, src_static=None):
                 operands.append(st["vals_lo"])
             else:
                 in_specs.append(vspec)
-                operands.append(st["vals"])
+                v32 = res.get("vals32")
+                operands.append(v32[si] if v32 is not None else st["vals"])
             in_specs.append(pl.BlockSpec((NV * SUB, LANES),
                                          lambda t: (0, 0),
                                          memory_space=pltpu.VMEM))
