@@ -102,6 +102,9 @@ def main() -> int:
     ap.add_argument("--relabel", default=None,
                     choices=["auto", "off", "first_touch"],
                     help="column relabel policy override")
+    ap.add_argument("--row-sort", default=None,
+                    choices=["auto", "off", "on"],
+                    help="row length-grouping policy override")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed run "
                          "into DIR (the reference ships -lineinfo for "
@@ -125,7 +128,8 @@ def main() -> int:
     overrides = {k: v for k, v in [
         ("block_longest", args.block_longest),
         ("threshold", args.threshold),
-        ("relabel", args.relabel)] if v is not None}
+        ("relabel", args.relabel),
+        ("row_sort", args.row_sort)] if v is not None}
     if overrides:
         import dataclasses
         config = dataclasses.replace(config, **overrides)

@@ -1593,14 +1593,22 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # strided bucket slices subsume the reference's short strategies, SELL
     # slices its regular medium region, long packets+fragments its long
     # part; rem slices are the irregular-tail analog (nnz_irreg below).
-    kind_fill = {}
+    bufs: Dict[str, list] = {}
+    rem23_bufs: list = []
     for q in packets:
-        pad = sum(t[0].size for t in q.tiles)
-        org = sum(int(np.count_nonzero(t[0])) for t in q.tiles)
         key = ("short" if q.kind.startswith("short") else
                "rem" if q.kind.startswith("rem") else q.kind)
-        p0, o0 = kind_fill.get(key, (0, 0))
-        kind_fill[key] = (p0 + pad, o0 + org)
+        lst = bufs.setdefault(key, [])
+        for t in q.tiles:
+            lst.append(t[0].ravel())
+        if q.kind in ("rem2", "rem3"):
+            rem23_bufs.extend(t[0].ravel() for t in q.tiles)
+    kind_fill = {}
+    for key, arrs in bufs.items():
+        cat = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
+        kind_fill[key] = (int(cat.size), int(np.count_nonzero(cat)))
+    rem23 = (int(np.count_nonzero(np.concatenate(rem23_bufs)))
+             if rem23_bufs else 0)
     stats = {
         "fill0_nnz_total": float(padded),
         "rate_fill0": float((padded - csr.nnz) / csr.nnz) if csr.nnz else 0.0,
@@ -1613,8 +1621,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         # the reference's irregular-tail CSR analog: elements re-routed
         # through shared rem slices, long-style fragments, or COO dregs
         "nnz_irreg": float(
-            sum(int(np.count_nonzero(t[0])) for q in packets
-                if q.kind in ("rem2", "rem3") for t in q.tiles)
+            rem23
             + sum(v.size for _, v in frags.values())
             + (int(orows.size) if ovf_r else 0)),
     }
