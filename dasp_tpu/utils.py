@@ -2,7 +2,31 @@
 
 from __future__ import annotations
 
+import functools
+import gc
 import os
+
+
+def gc_paused(fn):
+    """Run ``fn`` with the cyclic GC paused (re-enabled afterwards).
+
+    The packers allocate hundreds of thousands of small numpy views
+    (per-vreg tiles); every gen-2 collection walks all of them, and the
+    allocation rate triggers collections constantly.  Measured on the
+    1-vCPU build box: webbase_like pack 22s -> 4.7s with GC off — the
+    actual garbage is reclaimed by refcounting, so pausing is safe.
+    The reference's all-native packers have no analog cost
+    (dasp_f16.h:1162-1446)."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        was = gc.isenabled()
+        gc.disable()
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            if was:
+                gc.enable()
+    return wrapper
 
 
 def enable_compile_cache(path: str | None = None) -> str:

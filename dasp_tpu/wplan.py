@@ -59,6 +59,7 @@ import numpy as np
 
 from .config import DaspConfig, DEFAULT_CONFIG
 from .sparse import CSRMatrix, from_coo
+from .utils import gc_paused
 
 LANES = 128
 SUB = 8
@@ -178,19 +179,23 @@ class WPlan:
         over = self.overflow.nnz if self.overflow is not None else 0
         # explicit zeros in the input never occupy nonzero slots
         assert packed + over <= self.nnz, "elements double-packed"
+        def _is_perm(p, m):
+            # O(m) bincount instead of an O(m log m) sort (multi-M rows)
+            cnt = np.bincount(p, minlength=m)
+            return cnt.size == m and bool((cnt == 1).all())
+
         if self.col_perm is not None:
             assert self.col_perm.shape == (self.n_cols,)
-            assert np.array_equal(np.sort(self.col_perm),
-                                  np.arange(self.n_cols)), \
+            assert _is_perm(self.col_perm, self.n_cols), \
                 "col_perm must be a permutation"
         if self.row_perm is not None:
             # Two producers: the symmetric relabel (row_perm == col_perm,
             # shared x/y space) or the independent row length-grouping
             # (order_rid analog; col_perm may be None or differ).
             assert self.row_perm.shape == (self.n_rows,)
-            assert np.array_equal(np.sort(self.row_perm),
-                                  np.arange(self.n_rows)), \
-                "row_perm must be a permutation"
+            if self.row_perm is not self.col_perm:
+                assert _is_perm(self.row_perm, self.n_rows), \
+                    "row_perm must be a permutation"
 
 
 # ---------------------------------------------------------------------------
@@ -374,6 +379,7 @@ def _choose_w8(slens: np.ndarray, threshold: float) -> int:
     return w8
 
 
+@gc_paused
 def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 p_cap: int = 32, sym_ok: bool = True) -> WPlan:
     # sym_ok=False forbids the symmetric relabel even for square inputs
@@ -597,8 +603,10 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             k = np.arange(tot) - np.repeat(estart, reg)
             c_rep = np.repeat(c_row, reg)
             vreg_local = k // np.maximum(c_rep, 1)
-            vb = np.array([base_of[sid_of_block[b]]
-                           for b in blk[rows_sell]], dtype=np.int64)
+            base_by_sid = np.zeros(len(slices), dtype=np.int64)
+            for sid in slice_ids:
+                base_by_sid[sid] = base_of[sid]
+            vb = base_by_sid[sid_of_block[blk[rows_sell]]]
             vreg_id = np.repeat(vb, reg) + vreg_local
             ipref = (np.repeat(level_of_block[blk[rows_sell]] * s_row, reg)
                      + (k % c_rep)).astype(np.int64)
@@ -622,8 +630,10 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 np.zeros(0, dtype=np.int64)
             for sid in slice_ids:
                 loss[sid] = 0
-            for b in rej_b:
-                loss[int(sid_of_block[b])] += 1
+            if rej_b.size:
+                u, c = np.unique(sid_of_block[rej_b], return_counts=True)
+                for s_, c_ in zip(u.tolist(), c.tolist()):
+                    loss[int(s_)] = int(c_)
             results = {}
             for sid in slice_ids:
                 s, w8, _ = slices[sid]
@@ -1105,12 +1115,14 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                     cls_arr, dregs)
 
         res_long = res_frag = None
+        _pt('long_prep')
         if long_rows.size:
             if rows_sorted:
                 # zero-copy: route straight out of the CSR streams
                 rs = rpt[long_rows]
                 res_long = _pack_call(rs, rs + lens[long_rows],
                                       cols_all, vals_all)
+                _pt('long_nat')
                 if res_long[6].size:       # dregs: absolute CSR positions
                     d = res_long[6]
                     ovf_r.append(np.searchsorted(rpt, d, side="right") - 1)
@@ -1399,6 +1411,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 changed = True
                 break
 
+    _pt('asm_merge')
     key_list = sorted({final_key[(p.cls, p.stride)] for p in packets})
     streams: List[WStream] = []
     sell_segments: List[SellSegment] = []
@@ -1412,6 +1425,21 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                           for ns in n_rem_slices]
     out_row = 0
 
+    # Per-category fill accounting (the reference's packing-quality CSV
+    # fields, dasp_f64.h:1440-1441), accumulated per stream from one
+    # vectorized per-vreg nonzero count — NOT by re-concatenating every
+    # tile (which copied the whole plan once more).
+    # codes: 0=sell 1=short buckets 2=rem2 3=rem3 4=long
+    kind_slots = np.zeros(5, dtype=np.int64)
+    kind_nnz = np.zeros(5, dtype=np.int64)
+
+    def _kind_code(kind: str) -> int:
+        if kind == "sell":
+            return 0
+        if kind.startswith("short"):
+            return 1
+        return {"rem2": 2, "rem3": 3, "long": 4}[kind]
+
     for key in key_list:
         cls, stride = key
         stream_idx[key] = len(streams)
@@ -1422,6 +1450,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         mine.sort(key=lambda p: (kind_rank[p.kind], p.stride, p.w8,
                                  p.block))
         vals_parts, idx_parts, win_parts = [], [], []
+        codes: List[int] = []          # kind code per emitted vreg
         vreg_cursor = 0
         i = 0
         while i < len(mine) and mine[i].kind != "long":
@@ -1435,7 +1464,9 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 stream=stream_idx[key], vreg_offset=vreg_cursor,
                 n_slices=len(run), w8=run[0].w8, out_row=out_row,
                 stride=run[0].stride))
+            code = _kind_code(run[0].kind)
             for p in run:
+                codes.extend([code] * len(p.tiles))
                 for vt, it, wl in p.tiles:
                     vals_parts.append(vt)
                     idx_parts.append(it)
@@ -1455,6 +1486,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         by_nvc: Dict[int, List[Tuple[_Packet, int]]] = {}
         for p in long_here:
             start = vreg_cursor
+            codes.extend([4] * len(p.tiles))
             for vt, it, wl in p.tiles:
                 vals_parts.append(vt)
                 idx_parts.append(it)
@@ -1479,11 +1511,19 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             continue
         vals = np.concatenate(vals_parts, axis=0)
         idx = np.concatenate(idx_parts, axis=0).astype(np.int32, copy=False)
+        codes_a = np.asarray(codes, dtype=np.int64)
+        nzv = np.count_nonzero(vals.reshape(nv, -1), axis=1)
+        kind_nnz += np.bincount(codes_a, weights=nzv,
+                                minlength=5).astype(np.int64)
+        kind_slots += np.bincount(codes_a, minlength=5) * (SUB * LANES)
+        counts = np.fromiter((wl.size for wl in win_parts),
+                             dtype=np.int32, count=nv)
         wins = np.zeros((nv, cls), dtype=np.int32)
-        counts = np.zeros(nv, dtype=np.int32)
-        for k, wl in enumerate(win_parts):
-            wins[k, :wl.size] = wl
-            counts[k] = wl.size
+        tot_w = int(counts.sum())
+        rowi = np.repeat(np.arange(nv), counts)
+        coli = np.arange(tot_w) - np.repeat(
+            np.cumsum(counts, dtype=np.int64) - counts, counts)
+        wins[rowi, coli] = np.concatenate(win_parts) if tot_w else 0
         streams.append(WStream(P=cls, vals=vals, idx=idx,
                                wins=wins, win_counts=counts,
                                stride=stride))
@@ -1508,59 +1548,92 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # then length buckets, rem levels, long-scalar rows — each appended
     # only when the block actually uses it (the slot budget above keeps
     # the total within K_SOURCES).
-    out_src = np.full((B, K_SOURCES), Z, dtype=np.int64)
-    out_perm = np.zeros((B, K_SOURCES, LANES), dtype=np.int64)
-    for b in range(B):
-        rows = np.arange(b * LANES, min((b + 1) * LANES, n))
-        nlanes = rows.size
-        srcs: List[Tuple[int, np.ndarray]] = []
-        # primary slice
-        if y2_row_of_block[b] != Z:
-            lanes0 = block_lane_of_row[rows]
-            pad0 = block_pad_lane[b]
-            srcs.append((int(y2_row_of_block[b]),
-                         np.where(lanes0 >= 0, lanes0, max(pad0, 0))))
-        # length-bucket slices (shared; lane 127 is the reserved zero pad)
-        for bi in range(len(ALL_BUCKETS)):
-            sid = short_slice_of_block[bi][b]
-            if sid >= 0 and y2_row_of_shortslice[bi][sid] >= 0:
-                lanes_s = np.where(short_bucket_of_row[rows] == bi,
-                                   short_lane_of_row[rows], -1)
-                srcs.append((int(y2_row_of_shortslice[bi][sid]
-                                 + short_level_of_block[bi][b]),
-                             np.where(lanes_s >= 0, lanes_s, LANES - 1)))
-        # re-routed tails/conflict slices
-        for level in range(2):
-            sid = rem_slice_of_block[level][b]
-            if sid >= 0:
-                lanes2 = rem_lane_of_row[level][rows]
-                srcs.append((int(y2_row_of_remslice[level][sid]),
-                             np.where(lanes2 >= 0, lanes2, LANES - 1)))
-        # long/fragment scalars (contiguous in row order per block)
-        lmask = np.array([int(r) in scalar_pos_of_row for r in rows])
-        if lmask.any():
-            lrows = rows[lmask]
-            pos = np.array([scalar_pos_of_row[int(r)] for r in lrows])
-            src_rows = long_row_base + pos // LONG_PACK
-            lanes_l = pos % LONG_PACK
-            uniq = np.unique(src_rows)
-            if uniq.size > 2:
-                raise AssertionError(
-                    "long rows of one block span >2 scalar rows")
-            for sr in uniq:
-                perm = np.full(LANES, LANES - 1, dtype=np.int64)
-                sel = src_rows == sr
-                perm[np.flatnonzero(lmask)[sel]] = lanes_l[sel]
-                srcs.append((int(sr), perm))
-        if len(srcs) > K_SOURCES:
-            raise AssertionError(
-                f"block {b} needs {len(srcs)} outgather sources "
-                f"(budget {K_SOURCES})")
-        for k, (sr, perm) in enumerate(srcs):
-            out_src[b, k] = sr
-            out_perm[b, k, :min(perm.size, LANES)] = perm[:LANES]
-        # unused k sources keep Z with perm 0 (Z is all zeros)
+    _pt('outtab_blk')
+    # Vectorized source-slot allocation (the per-block Python loop cost
+    # seconds at B ~ 20-40k blocks on the 1-vCPU build box): every source
+    # family writes its blocks' (src row, lane perm) in one fancy-indexed
+    # assignment, with a per-block slot cursor ``kcur`` giving the same
+    # dynamic slot packing as the old loop (primary, buckets in order,
+    # rem levels, long scalars).
+    out_src = np.full((B, K_SOURCES), Z, dtype=np.int32)
+    out_perm = np.zeros((B, K_SOURCES, LANES), dtype=np.int32)
+    kcur = np.zeros(B, dtype=np.int64)
 
+    def _padmat(arr, fill=-1):
+        m = np.full(B * LANES, fill, dtype=np.int64)
+        m[:n] = arr
+        return m.reshape(B, LANES)
+
+    def _emit(idx, src, perm):
+        kc = kcur[idx]
+        if int(kc.max(initial=0)) >= K_SOURCES:
+            b = int(idx[np.argmax(kc)])
+            raise AssertionError(
+                f"block {b} needs {int(kcur[b]) + 1} outgather sources "
+                f"(budget {K_SOURCES})")
+        out_src[idx, kc] = src
+        out_perm[idx, kc] = perm
+        kcur[idx] += 1
+
+    # primary slice
+    lanes0 = _padmat(block_lane_of_row)
+    idx = np.flatnonzero(y2_row_of_block != Z)
+    if idx.size:
+        pad0 = np.maximum(block_pad_lane, 0)
+        _emit(idx, y2_row_of_block[idx],
+              np.where(lanes0[idx] >= 0, lanes0[idx], pad0[idx, None]))
+    # length-bucket slices (shared; lane 127 is the reserved zero pad)
+    sb_mat = _padmat(short_bucket_of_row)
+    sl_mat = _padmat(short_lane_of_row)
+    for bi in range(len(ALL_BUCKETS)):
+        sid = short_slice_of_block[bi]
+        ok = sid >= 0
+        ok[ok] = y2_row_of_shortslice[bi][sid[ok]] >= 0
+        idx = np.flatnonzero(ok)
+        if idx.size == 0:
+            continue
+        src = (y2_row_of_shortslice[bi][sid[idx]]
+               + short_level_of_block[bi][idx])
+        _emit(idx, src, np.where(sb_mat[idx] == bi, sl_mat[idx], LANES - 1))
+    # re-routed tails/conflict slices
+    for level in range(2):
+        sid = rem_slice_of_block[level]
+        idx = np.flatnonzero(sid >= 0)
+        if idx.size == 0:
+            continue
+        rl = _padmat(rem_lane_of_row[level])[idx]
+        _emit(idx, y2_row_of_remslice[level][sid[idx]],
+              np.where(rl >= 0, rl, LANES - 1))
+    # long/fragment scalars (contiguous positions in row order per block,
+    # so a block's scalars span at most 2 consecutive y2 scalar rows)
+    if scalar_owners:
+        spos_arr = np.full(n, -1, dtype=np.int64)
+        so = np.asarray(scalar_owners, dtype=np.int64)
+        spos_arr[so] = np.arange(so.size)
+        sp_mat = _padmat(spos_arr)
+        has = sp_mat >= 0
+        srow_mat = np.where(has, long_row_base + sp_mat // LONG_PACK, -1)
+        BIG = np.int64(1) << 62
+        row_min = np.where(has, srow_mat, BIG).min(axis=1)
+        row_max = srow_mat.max(axis=1)
+        valid = row_max >= 0
+        if np.any(valid) and int(
+                (row_max[valid] - row_min[valid]).max(initial=0)) > 1:
+            raise AssertionError("long rows of one block span >2 scalar rows")
+        lane_mat = sp_mat % LONG_PACK
+        for which in (row_min, row_max):
+            sel = valid & (which < BIG)
+            if which is row_max:
+                sel &= row_max != row_min         # second distinct row only
+            idx = np.flatnonzero(sel)
+            if idx.size == 0:
+                continue
+            perm = np.where(srow_mat[idx] == which[idx, None],
+                            lane_mat[idx], LANES - 1)
+            _emit(idx, which[idx], perm)
+    # unused k slots keep Z with perm 0 (Z is all zeros)
+
+    _pt('outsrc')
     overflow = None
     if ovf_r:
         orows = np.concatenate(ovf_r)
@@ -1593,35 +1666,19 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # strided bucket slices subsume the reference's short strategies, SELL
     # slices its regular medium region, long packets+fragments its long
     # part; rem slices are the irregular-tail analog (nnz_irreg below).
-    bufs: Dict[str, list] = {}
-    rem23_bufs: list = []
-    for q in packets:
-        key = ("short" if q.kind.startswith("short") else
-               "rem" if q.kind.startswith("rem") else q.kind)
-        lst = bufs.setdefault(key, [])
-        for t in q.tiles:
-            lst.append(t[0].ravel())
-        if q.kind in ("rem2", "rem3"):
-            rem23_bufs.extend(t[0].ravel() for t in q.tiles)
-    kind_fill = {}
-    for key, arrs in bufs.items():
-        cat = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
-        kind_fill[key] = (int(cat.size), int(np.count_nonzero(cat)))
-    rem23 = (int(np.count_nonzero(np.concatenate(rem23_bufs)))
-             if rem23_bufs else 0)
     stats = {
         "fill0_nnz_total": float(padded),
         "rate_fill0": float((padded - csr.nnz) / csr.nnz) if csr.nnz else 0.0,
         "overflow_frac": float(census["n_overflow"] / csr.nnz)
         if csr.nnz else 0.0,
-        "fill0_nnz_short": float(kind_fill.get("short", (0, 0))[0]),
-        "fill0_nnz_long": float(kind_fill.get("long", (0, 0))[0]),
-        "origin_nnz_reg": float(kind_fill.get("sell", (0, 0))[1]),
-        "fill0_nnz_reg": float(kind_fill.get("sell", (0, 0))[0]),
+        "fill0_nnz_short": float(kind_slots[1]),
+        "fill0_nnz_long": float(kind_slots[4]),
+        "origin_nnz_reg": float(kind_nnz[0]),
+        "fill0_nnz_reg": float(kind_slots[0]),
         # the reference's irregular-tail CSR analog: elements re-routed
         # through shared rem slices, long-style fragments, or COO dregs
         "nnz_irreg": float(
-            rem23
+            int(kind_nnz[2] + kind_nnz[3])
             + sum(v.size for _, v in frags.values())
             + (int(orows.size) if ovf_r else 0)),
     }
@@ -1631,11 +1688,13 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         s_rows=(-(-max(csr.n_cols, 1) // VREG)) * SUB,
         streams=streams, sell=sell_segments, longs=long_groups,
         n_long=int(n_long),
-        out_src=out_src.astype(np.int32),
-        out_perm=out_perm.reshape(B * K_SOURCES, LANES).astype(np.int32),
+        out_src=out_src,
+        out_perm=out_perm.reshape(B * K_SOURCES, LANES),
         n_y2_rows=int(n_y2_rows), overflow=overflow,
         census=census, stats=stats, col_perm=col_perm, row_perm=row_perm)
+    _pt('plan_ctor')
     plan.check()
+    _pt('check')
     return plan
 
 
