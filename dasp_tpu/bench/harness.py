@@ -121,9 +121,14 @@ def time_loop(op, x_dev, iters: int = ITERS, trials: int = 3) -> float:
         t2 = time.perf_counter()
         diffs.append((t2 - t1) - (t1 - t0))
         best1 = min(best1, t1 - t0)
-    pos = [d for d in diffs if d > 0]
+    pos = sorted(d for d in diffs if d > 0)
     if pos:
-        per = min(pos) / iters
+        # median, NOT min: under the chip's +-2x drift the distribution of
+        # per-trial differences is wide, and min-of-positive picks the
+        # near-zero outliers — a quick run once "measured" a dd plan at
+        # 3x its f32 sibling (physically impossible).  The median is
+        # drift-robust and still cancels the ~26 ms dispatch overhead.
+        per = pos[len(pos) // 2] / iters
     else:                       # noise swamped the difference: fall back
         per = max(best1 - call_overhead(), 1e-9) / (iters + 1)
     return per

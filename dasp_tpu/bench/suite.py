@@ -191,7 +191,12 @@ def build_suite(names: Optional[List[str]] = None, seed: int = 0
     names = names or DEFAULT_NAMES
     out = []
     for n in names:
-        rng = np.random.default_rng(seed + abs(hash(n)) % 1000)
+        # deterministic name hash: Python's str hash is SALTED per process
+        # (PYTHONHASHSEED), which silently made every process bench a
+        # different random instance of each arm — records were not
+        # comparable run to run
+        import zlib
+        rng = np.random.default_rng(seed + zlib.crc32(n.encode()) % 1000)
         out.append((n, SUITE[n](rng)))
     return out
 

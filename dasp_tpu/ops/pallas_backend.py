@@ -950,7 +950,13 @@ class PallasSpMV:
         import time
         from ..config import DEFAULT_CONFIG
         t0 = time.perf_counter()
-        self.plan = build_wplan(csr, config or DEFAULT_CONFIG)
+        # A prebuilt WPlan is accepted directly: the plan is
+        # dtype-independent (values are carried f64 and converted in
+        # plan_to_arrays), so one pack serves f32/bf16/f64 operators —
+        # the reference instead re-packs per dtype binary
+        # (main_f64.cu/main_f16.cu are separate runs).
+        self.plan = (csr if isinstance(csr, WPlan)
+                     else build_wplan(csr, config or DEFAULT_CONFIG))
         self.dtype = dtype
         self._meta, arrays = plan_to_arrays(self.plan, dtype)
         # VMEM-resident iterated mode (ops/resident.py): plans whose

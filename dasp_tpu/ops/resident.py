@@ -94,6 +94,12 @@ def resident_bytes(meta, arrays) -> int:
             n += a.nbytes // 2
         if res.get("rowsel") is not None:
             n += res["rowsel"].nbytes + res["lanesel"].nbytes
+        # compressed resident operands replace the full-width ones
+        if res.get("perm8") is not None:
+            n -= arrays["out_perm"].nbytes - res["perm8"].nbytes
+        if res.get("lo16") is not None:
+            n -= sum(st["vals_lo"].nbytes // 2
+                     for st in arrays["streams"])
     return n
 
 
@@ -238,12 +244,30 @@ def prepare(meta, arrays) -> None:
         res["vals32"] = [st["vals"].astype(np.float32)
                          for st in arrays["streams"]]
     arrays["resident"] = res
-    if (resident_bytes(meta, arrays) > RESIDENT_BUDGET
-            or smem_bytes(meta, arrays) > SMEM_BUDGET):
+    if smem_bytes(meta, arrays) > SMEM_BUDGET:
+        arrays["resident"] = None
+        return
+    if resident_bytes(meta, arrays) > RESIDENT_BUDGET:
         res.pop("vals32", None)
-        if (resident_bytes(meta, arrays) > RESIDENT_BUDGET
-                or smem_bytes(meta, arrays) > SMEM_BUDGET):
-            arrays["resident"] = None
+    if resident_bytes(meta, arrays) > RESIDENT_BUDGET:
+        # Operand compression, applied only when it is what makes the plan
+        # fit (full-width operands cost nothing once resident, so small
+        # plans keep them):
+        # (a) the outgather lane-permutation table holds lanes 0..127 —
+        #     int8 instead of int32 (kernel upcasts per chunk);
+        res["perm8"] = arrays["out_perm"].astype(np.int8)
+    if resident_bytes(meta, arrays) > RESIDENT_BUDGET and meta.dtype == "f64":
+        # (b) dd lo-value streams as bf16: lo carries hi's rounding
+        #     residual (<= 2^-24 |v|), so bf16's 8-bit mantissa still
+        #     bounds the value error at ~2^-33 |v| — end-to-end ~1e-9
+        #     instead of ~1e-13, far inside the reference's 1e-5
+        #     contract (main_f64.cu:8).  This is what brings the
+        #     webbase-class dd footprint under the VMEM budget.
+        import ml_dtypes
+        res["lo16"] = [st["vals_lo"].astype(ml_dtypes.bfloat16)
+                       for st in arrays["streams"]]
+    if resident_bytes(meta, arrays) > RESIDENT_BUDGET:
+        arrays["resident"] = None
 
 
 def _og_program(src_np, Z: int, RU: int):
@@ -395,7 +419,10 @@ def make_resident_loop(meta, src_static=None):
 
                         if DD:
                             vh = v_ref[0][pl.ds(v * SUB, SUB), :]
-                            vl = v_ref[1][pl.ds(v * SUB, SUB), :]
+                            # lo may be stored bf16 (footprint compression,
+                            # see prepare); upcast is a no-op for f32
+                            vl = v_ref[1][pl.ds(v * SUB, SUB), :].astype(
+                                jnp.float32)
                             if P == 1:
                                 gh = gat(x_scr[0], 0)
                                 gl = gat(x_scr[1], 0)
@@ -613,7 +640,8 @@ def make_resident_loop(meta, src_static=None):
                     for sk, runs in enumerate(og_prog[u]):
                         if runs is None:
                             continue
-                        pr = perm_ref[sk, u * RU:(u + 1) * RU, :]
+                        pr = perm_ref[sk, u * RU:(u + 1) * RU, :].astype(
+                            jnp.int32)   # int8-compressed when over budget
                         if DD:
                             scr_fill(scr[0], y2[0], runs)
                             scr_fill(scr[1], y2[1], runs)
@@ -652,7 +680,7 @@ def make_resident_loop(meta, src_static=None):
                             for k in range(RU):
                                 scr[pl.ds(k, 1), :] = \
                                     y2[pl.ds(src_ref[sk, u * RU + k], 1), :]
-                        pr = perm_ref[sk, rows, :]
+                        pr = perm_ref[sk, rows, :].astype(jnp.int32)
                         if DD:
                             gh = jnp.take_along_axis(scr[0][0:RU, :], pr,
                                                      axis=1)
@@ -706,7 +734,9 @@ def make_resident_loop(meta, src_static=None):
                 in_specs.append(vspec)
                 operands.append(st["vals_hi"])
                 in_specs.append(vspec)
-                operands.append(st["vals_lo"])
+                lo16 = res.get("lo16")
+                operands.append(lo16[si] if lo16 is not None
+                                else st["vals_lo"])
             else:
                 in_specs.append(vspec)
                 v32 = res.get("vals32")
@@ -729,7 +759,8 @@ def make_resident_loop(meta, src_static=None):
         in_specs.append(pl.BlockSpec(
             (meta.k_used, meta.B_pad, LANES), lambda t: (0, 0, 0),
             memory_space=pltpu.VMEM))
-        operands.append(arrays["out_perm"])
+        operands.append(res["perm8"] if res.get("perm8") is not None
+                        else arrays["out_perm"])
         split = res.get("split", {}) if meta.n_long else {}
         for si in res_keys:
             for big in (split[si] if si in split else (res["bigs"][si],)):

@@ -48,9 +48,12 @@ class SpMVOperator:
 
     def __new__(cls, csr, dtype: str = F32,
                 config: DaspConfig = DEFAULT_CONFIG, backend: str = "auto"):
-        if backend == "pallas" or (
+        from .wplan import WPlan
+        if backend == "pallas" or isinstance(csr, WPlan) or (
                 backend == "auto" and isinstance(csr, CSRMatrix)
                 and _tpu_available()):
+            # a prebuilt WPlan always means the windowed Pallas operator
+            # (one pack shared across dtypes; see PallasSpMV.__init__)
             from .ops.pallas_backend import PallasSpMV
             return PallasSpMV(csr, dtype, config)
         return super().__new__(cls)

@@ -163,3 +163,45 @@ def test_budget_gate():
     resident.prepare(meta, arrays)
     assert arrays["resident"] is not None
     assert resident.resident_bytes(meta, arrays) < resident.RESIDENT_BUDGET
+
+
+def test_resident_compression_when_over_budget(monkeypatch):
+    """Plans slightly over the VMEM budget compress resident operands
+    instead of falling back to streaming: the outgather lane table goes
+    int8 (lanes are 0..127) and — for dd — the lo-value streams go bf16
+    (lo is hi's rounding residual, so bf16 still bounds the value error
+    at ~2^-33; the webbase-class f64 plans fit exactly this way).
+    Golden-checked with both compressions active."""
+    from dasp_tpu.ops import dd
+    rng = np.random.default_rng(9)
+    csr = mixed_categories(600, rng)
+    meta, arrays = pb.plan_to_arrays(pb.build_wplan(csr), "f64")
+    resident.prepare(meta, arrays)     # full footprint incl. res extras
+    assert arrays["resident"] is not None
+    need = resident.resident_bytes(meta, arrays)
+    lo_total = sum(st["vals_lo"].nbytes for st in arrays["streams"])
+    # budget between (full size) and (both compressions applied): forces
+    # perm8 AND lo16 without making the plan ineligible
+    forced = need - arrays["out_perm"].nbytes * 3 // 4 - lo_total // 2
+    monkeypatch.setattr(resident, "RESIDENT_BUDGET", forced)
+    op = pb.PallasSpMV(pb.build_wplan(csr), "f64")
+    # rebuild through prepare under the lowered budget
+    meta2, arrays2 = pb.plan_to_arrays(op.plan, "f64")
+    resident.prepare(meta2, arrays2)
+    assert arrays2["resident"] is not None
+    assert arrays2["resident"].get("perm8") is not None
+    assert arrays2["resident"].get("lo16") is not None
+    import jax
+    op._meta = meta2
+    op._src_host = (arrays2["out_src"].copy())
+    op._arrays = jax.device_put(arrays2)
+    op._resident_jit = None
+    assert op.resident
+    x = rng.standard_normal(csr.n_cols)
+    golden = csr.spmv(x)
+    out = op.timing_loop(1)(op._prep_x(x))
+    y = op.perm_out(dd.to_f64(np.asarray(out["hi"]),
+                              np.asarray(out["lo"])))
+    scale = max(1.0, np.abs(golden).max())
+    # lo-bf16 degrades ~1e-13 to ~1e-9; still far inside the 1e-5 contract
+    np.testing.assert_allclose(y, golden, rtol=0, atol=1e-7 * scale)

@@ -104,3 +104,23 @@ def test_matmat_interface_parity(rng):
         op = dasp_tpu.SpMVOperator(csr, dtype="f32", backend=backend)
         np.testing.assert_allclose(op.matmat(X) / scale, G / scale,
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_prebuilt_wplan_shared_across_dtypes(rng):
+    """A prebuilt WPlan dispatches to the windowed operator and serves
+    every dtype (the plan is dtype-independent; bench.py packs once per
+    matrix and shares — the reference re-packs per dtype binary)."""
+    from dasp_tpu.sparse import mixed_categories
+    from dasp_tpu.wplan import build_wplan
+    from dasp_tpu.config import DEFAULT_CONFIG
+    csr = mixed_categories(300, rng)
+    plan = build_wplan(csr, DEFAULT_CONFIG)
+    x = rng.standard_normal(csr.n_cols)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    for dtype, tol in (("f32", 1e-5), ("f64", 1e-9)):
+        op = SpMVOperator(plan, dtype=dtype)
+        assert op.backend == "pallas"
+        assert op.plan is plan
+        np.testing.assert_allclose(op(x) / scale, golden / scale,
+                                   rtol=tol, atol=tol)

@@ -6,10 +6,18 @@ those are right for 128-lane strided slices; this sweep measures them.
 
     python tools/sweep_constants.py [arm ...]   # default: scircuit+webbase
 
-Prints one line per (arm, block_longest, threshold): pack seconds, fill
-rate, GFLOP/s from a 100-iteration in-jit loop (same protocol as
-bench.py).  Run back-to-back — the tunneled chip drifts with time of
-day, so only within-sweep comparisons are meaningful.
+block_longest is structurally capped at 256 on TPU: the widest SELL
+slice is W8=32 vregs x 8 sublanes = 256 row slots (config.py validation),
+so the reference's GPU default is also this design's ceiling — the sweep
+explores DOWN plus the occupancy threshold.
+
+Measurement: the tunneled chip drifts +-2x within minutes, so a
+sequential sweep is uninterpretable (a first pass measured the SAME plan
+at 334/118/52 GF across ten minutes).  Each candidate is therefore
+INTERLEAVED with the default back-to-back, several alternations, and the
+report is the ratio of per-pair minima — chip drift cancels to first
+order.  A candidate whose plan signature equals the default's (identical
+fill + stream shapes) is reported as "plan identical" without timing.
 """
 
 import sys
@@ -18,6 +26,11 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import numpy as np
+
+
+def _sig(plan):
+    return (round(plan.stats["rate_fill0"], 6),
+            tuple((s.P, s.stride, s.n_vregs) for s in plan.streams))
 
 
 def main():
@@ -29,14 +42,25 @@ def main():
 
     enable_compile_cache()
     arms = sys.argv[1:] or ["scircuit_like", "webbase_like"]
-    combos = [(256, 0.75),           # reference defaults (baseline)
-              (128, 0.75), (512, 0.75), (1024, 0.75),
+    combos = [(128, 0.75), (64, 0.75), (192, 0.75),
               (256, 0.6), (256, 0.9)]
+    PAIRS = 3
     for name in arms:
         _, csr = build_suite([name])[0]
-        base = None
+        x = np.random.default_rng(0).standard_normal(csr.n_cols)
+        t0 = time.perf_counter()
+        op0 = pb.PallasSpMV(csr, "f32", config=DaspConfig())
+        print(f"{name} default 256/0.75: pack {time.perf_counter()-t0:.1f}s "
+              f"fill {op0.plan.stats['rate_fill0']:.3f} "
+              f"resident={int(bool(op0.resident))}", flush=True)
+        x0 = op0._prep_x(x)
         for bl, th in combos:
-            cfg = DaspConfig(block_longest=bl, threshold=th)
+            try:
+                cfg = DaspConfig(block_longest=bl, threshold=th)
+            except ValueError as e:
+                print(f"{name} bl={bl} th={th}: invalid config ({e})",
+                      flush=True)
+                continue
             t0 = time.perf_counter()
             try:
                 op = pb.PallasSpMV(csr, "f32", config=cfg)
@@ -46,22 +70,29 @@ def main():
                 continue
             pack_s = time.perf_counter() - t0
             fill = op.plan.stats.get("rate_fill0", -1.0)
-            x = np.random.default_rng(0).standard_normal(csr.n_cols)
+            if _sig(op.plan) == _sig(op0.plan):
+                print(f"{name} bl={bl:4d} th={th:.2f}: plan IDENTICAL to "
+                      f"default (fill {fill:.3f}) — not timed", flush=True)
+                continue
+            xc = op._prep_x(x)
             try:
-                sec = harness.time_loop(op, op._prep_x(x), iters=100)
+                ratios = []
+                for _ in range(PAIRS):
+                    s_base = harness.time_loop(op0, x0, iters=100,
+                                               trials=1)
+                    s_cand = harness.time_loop(op, xc, iters=100,
+                                               trials=1)
+                    ratios.append(s_base / s_cand)
             except Exception as e:                    # noqa: BLE001
                 print(f"{name} bl={bl} th={th}: run FAILED "
                       f"{str(e)[:120]}", flush=True)
                 continue
-            gf = 2.0 * csr.nnz / sec / 1e9
-            mark = ""
-            if (bl, th) == (256, 0.75):
-                base = gf
-            elif base:
-                mark = f"  ({(gf / base - 1) * 100:+.1f}% vs default)"
+            best = max(ratios)   # speedup of candidate vs default
+            med = sorted(ratios)[len(ratios) // 2]
             print(f"{name} bl={bl:4d} th={th:.2f}: pack {pack_s:5.1f}s "
                   f"fill {fill:5.3f} resident={int(bool(op.resident))} "
-                  f"{gf:6.1f} GF{mark}", flush=True)
+                  f"speedup med {med:5.2f}x best {best:5.2f}x "
+                  f"(>1 = candidate wins)", flush=True)
 
 
 if __name__ == "__main__":
