@@ -34,6 +34,10 @@ import numpy as np
 # poison (the ratio, if it survives, is appended and the summary re-printed).
 BCOO_RISK_NNZ = 19_000_000
 
+# bump when the WPlan on-disk format or packer semantics change (stale
+# cached plans also fail load_wplan and rebuild transparently)
+PLAN_CACHE_VER = 1
+
 
 class _Summary:
     """Running suite summary; emitted after every arm and from signal
@@ -179,15 +183,48 @@ def main() -> int:
         # The pack plan is dtype-independent: build it ONCE per matrix and
         # share it across the dtype arms (the reference re-packs per dtype
         # binary; dasp_pre below still records the full standalone cost).
+        # Suite plans are additionally CACHED on disk: the suite matrices
+        # are deterministic (bench/suite.py) and a plan is a pure function
+        # of (matrix, config), while packing the 69M-nnz livejournal arm
+        # costs minutes of this box's one bursty vCPU.  dasp_pre reports
+        # the pack time MEASURED when the plan was built (stored in
+        # plan.stats) — the SpMV timing itself never touches the cache.
         shared_plan, pre_shared = None, 0.0
         try:
             from dasp_tpu.ops.pallas_backend import SLAB_COLS
-            from dasp_tpu.wplan import build_wplan
+            from dasp_tpu.wplan import build_wplan, load_wplan, save_wplan
             if (jax.devices()[0].platform == "tpu"
                     and csr.n_cols <= SLAB_COLS):
-                t0 = time.perf_counter()
-                shared_plan = build_wplan(csr, config)
-                pre_shared = time.perf_counter() - t0
+                cpath = None
+                if not args.mtx:
+                    import dataclasses as _dc
+                    import json as _json
+                    import zlib as _z
+                    ch = _z.crc32(_json.dumps(
+                        _dc.asdict(config), sort_keys=True,
+                        default=str).encode())
+                    cpath = (f".plan_cache/{name}_{csr.nnz}"
+                             f"_{ch:08x}_v{PLAN_CACHE_VER}.npz")
+                if cpath and os.path.exists(cpath):
+                    try:
+                        shared_plan = load_wplan(cpath)
+                        pre_shared = float(
+                            shared_plan.stats.get("pack_seconds", 0.0))
+                        print(f"# {name}: plan cache hit", file=sys.stderr)
+                    except Exception:
+                        shared_plan = None      # stale format: rebuild
+                if shared_plan is None:
+                    t0 = time.perf_counter()
+                    shared_plan = build_wplan(csr, config)
+                    pre_shared = time.perf_counter() - t0
+                    shared_plan.stats["pack_seconds"] = pre_shared
+                    if cpath:
+                        try:
+                            os.makedirs(".plan_cache", exist_ok=True)
+                            save_wplan(shared_plan, cpath)
+                        except Exception as e:
+                            print(f"# plan cache save failed: {e}",
+                                  file=sys.stderr)
         except Exception as e:
             print(f"# shared pack failed on {name}: {e}", file=sys.stderr)
 

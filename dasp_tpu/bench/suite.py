@@ -186,9 +186,24 @@ def _banded_uniform(n, k, half_band, rng):
                      rng.standard_normal(n * k))
 
 
+_CACHE_VER = 1          # bump when any generator above changes shape
+
+
+def _cache_dir() -> str:
+    import os
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".suite_cache")
+
+
 def build_suite(names: Optional[List[str]] = None, seed: int = 0
                 ) -> List[Tuple[str, CSRMatrix]]:
+    """Build (or load from the gitignored ``.suite_cache/``) the named
+    arms.  Generating the biggest arm (soc-LiveJournal1 scale, 69M nnz:
+    zipf draw + lexsort) costs minutes of the 1-vCPU box per process;
+    the generators are deterministic, so the .npz round-trip is exact."""
+    import os
     names = names or DEFAULT_NAMES
+    cd = _cache_dir()
     out = []
     for n in names:
         # deterministic name hash: Python's str hash is SALTED per process
@@ -196,8 +211,27 @@ def build_suite(names: Optional[List[str]] = None, seed: int = 0
         # different random instance of each arm — records were not
         # comparable run to run
         import zlib
+        path = os.path.join(cd, f"{n}_s{seed}_v{_CACHE_VER}.npz")
+        if os.path.exists(path):
+            try:
+                with np.load(path) as z:
+                    out.append((n, CSRMatrix(
+                        int(z["n_rows"]), int(z["n_cols"]),
+                        z["row_ptr"], z["col_idx"], z["values"])))
+                continue
+            except Exception:
+                pass                      # corrupt cache: regenerate
         rng = np.random.default_rng(seed + zlib.crc32(n.encode()) % 1000)
-        out.append((n, SUITE[n](rng)))
+        csr = SUITE[n](rng)
+        if csr.nnz >= 4_000_000:          # only the expensive arms
+            try:
+                os.makedirs(cd, exist_ok=True)
+                np.savez(path, n_rows=csr.n_rows, n_cols=csr.n_cols,
+                         row_ptr=csr.row_ptr, col_idx=csr.col_idx,
+                         values=csr.values)
+            except Exception:
+                pass                      # cache is best-effort
+        out.append((n, csr))
     return out
 
 

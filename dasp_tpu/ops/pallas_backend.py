@@ -27,6 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils import gc_paused
 from ..wplan import (WPlan, SUB, LANES, LONG_PACK, K_SOURCES, build_wplan)
 from . import xla_backend
 
@@ -575,6 +576,7 @@ class WMeta(NamedTuple):
     k_used: int = K_SOURCES
 
 
+@gc_paused
 def plan_to_arrays(plan, dtype: str = "f32",
                    include_overflow: bool = True, k_sources=None):
     # k_sources overrides the used-slot trim (multi-chip stacking needs

@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..wplan import SUB, LANES, LONG_PACK
+from ..utils import gc_paused
 
 # Confirmed working at 100.7 MB of resident operands (resident_probe.py);
 # leave headroom for Mosaic's own scratch.
@@ -164,6 +165,7 @@ def split_incidence(big, W):
     return big1, big2
 
 
+@gc_paused
 def prepare(meta, arrays) -> None:
     """Attach the resident-mode numpy constants to ``arrays`` (call BEFORE
     device_put).  No-op when the plan is ineligible or over budget."""
