@@ -43,15 +43,21 @@ class BCOOBaseline:
         return self._fn(self.mat, x_dev)
 
     def timing_loop(self, iters: int):
-        @jax.jit
-        def loop(mat, x):
-            def body(_, x):
-                y = mat @ x
-                return x + (y.ravel()[0].astype(jnp.float32)
-                            * jnp.float32(1e-36)).astype(x.dtype)
-            x = jax.lax.fori_loop(0, iters, body, x)
-            return mat @ x
-        return lambda x_dev: loop(self.mat, x_dev)
+        # runtime iteration count: one compile serves every loop length
+        # (see PallasSpMV.timing_loop)
+        loop = getattr(self, "_loop_jit", None)
+        if loop is None:
+            @jax.jit
+            def loop(mat, x, it):
+                def body(_, x):
+                    y = mat @ x
+                    return x + (y.ravel()[0].astype(jnp.float32)
+                                * jnp.float32(1e-36)).astype(x.dtype)
+                x = jax.lax.fori_loop(0, it, body, x)
+                return mat @ x
+            self._loop_jit = loop
+        it = jnp.int32(iters)
+        return lambda x_dev: loop(self.mat, x_dev, it)
 
     def __call__(self, x):
         return np.asarray(self.device_call(self._prep_x(x)))

@@ -12,6 +12,7 @@ bandwidth models (``dasp_f64.h:1162-1172``):
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from typing import Callable, Dict, Optional
 
@@ -30,6 +31,11 @@ class BenchResult:
     bandwidth1_gbs: float
     bandwidth2_gbs: float
     preprocess_seconds: float = 0.0
+    # relative max-min range of the per-trial differenced timings
+    # (drift diagnostic; the CSV records it as dasp_spread)
+    spread: float = 0.0
+    # iteration count the adaptive loop actually timed with
+    timed_iters: int = 0
 
     def as_dict(self) -> Dict[str, float]:
         return dataclasses.asdict(self)
@@ -92,25 +98,63 @@ def time_fn(fn: Callable[[], object], warmup: int = WARMUP,
     return (time.perf_counter() - t0) / iters
 
 
-def time_loop(op, x_dev, iters: int = ITERS, trials: int = 3) -> float:
-    """Seconds per SpMV using the operator's in-jit timing loop: ``iters``
-    chained iterations run in ONE device call (the reference's
-    100-warmup/1000-iter protocol, dasp_f64.h:1285-1286, adapted to a
-    runtime with per-call dispatch overhead).
+# Runaway bound for the adaptive loop-length scaling below.
+MAX_LOOP_ITERS = 200_000
 
-    Two loop lengths (N and 2N) are timed and DIFFERENCED so the ~26 ms
-    per-call overhead cancels exactly — subtracting a separately-measured
-    overhead estimate is catastrophically noise-sensitive when the whole
-    N-iteration loop wall is comparable to the overhead (a 60 us/iter
-    matrix at N=300 is an 18 ms loop under a 26 ms overhead)."""
-    loop1 = op.timing_loop(iters)
-    loop2 = op.timing_loop(2 * iters)
+
+def time_loop_stats(op, x_dev, iters: int = ITERS, trials: int = 3):
+    """Seconds per SpMV using the operator's in-jit timing loop: N chained
+    iterations run in ONE device call (the reference's 100-warmup/1000-iter
+    protocol, dasp_f64.h:1285-1286, adapted to a runtime with per-call
+    dispatch overhead).  Returns ``(seconds_per_iter, spread, n)`` where
+    ``spread`` is the relative max-min range of the per-trial differenced
+    timings (0 = perfectly repeatable; the tunneled chip's speed drifts
+    +-2x with time of day, so the CSV records this next to the number).
+
+    Two loop lengths (N and 2N) are timed back to back and DIFFERENCED so
+    the ~26 ms per-call overhead cancels — subtracting a separately
+    measured overhead estimate is catastrophically noise-sensitive when
+    the whole N-iteration loop wall is comparable to the overhead.
+
+    N is scaled ADAPTIVELY until the differenced real work itself
+    dominates the overhead (>= ~6x): with N too small the difference is
+    a few ms riding on two ~26 ms calls, and a single vCPU burst between
+    the back-to-back calls fabricates a 10-40x outlier (observed:
+    scircuit bf16 "1722 us/iter" vs its true ~60 us).  The iteration
+    count is a runtime scalar to the jitted loop, so rescaling costs no
+    recompile."""
+    ovh = call_overhead()
+    floor = max(6.0 * ovh, 0.02)
+    n = max(iters, 1)
+    loop1 = op.timing_loop(n)
+    loop2 = op.timing_loop(2 * n)
     _sync(loop1(x_dev))         # compile + warm caches
     _sync(loop2(x_dev))
+    for _ in range(3):          # probe, rescale while under the floor
+        t0 = time.perf_counter()
+        _sync(loop1(x_dev))
+        t1 = time.perf_counter()
+        _sync(loop2(x_dev))
+        t2 = time.perf_counter()
+        d = (t2 - t1) - (t1 - t0)
+        if d >= floor or 2 * n >= MAX_LOOP_ITERS:
+            break
+        # optimistic per-iter estimate (fastest window seen) -> the N
+        # whose differenced work lands ~1.5x past the floor
+        per_est = max(d, (t1 - t0) - ovh) / n
+        if per_est <= 0:
+            per_est = (t1 - t0) / (4.0 * n)
+        n_new = int(min(max(math.ceil(1.5 * floor / per_est), 2 * n),
+                        MAX_LOOP_ITERS // 2))
+        n = n_new
+        loop1 = op.timing_loop(n)
+        loop2 = op.timing_loop(2 * n)
+        _sync(loop1(x_dev))
+        _sync(loop2(x_dev))
     # Difference WITHIN each trial (back-to-back loop1/loop2 runs see the
-    # same chip state under the documented +-2x time-of-day drift;
-    # differencing independent per-loop minima could pair timings from
-    # different drift regimes and bias or negate the difference).
+    # same chip state under the drift; differencing independent per-loop
+    # minima could pair timings from different drift regimes and bias or
+    # negate the difference).
     diffs = []
     best1 = float("inf")
     for _ in range(trials):
@@ -128,10 +172,17 @@ def time_loop(op, x_dev, iters: int = ITERS, trials: int = 3) -> float:
         # near-zero outliers — a quick run once "measured" a dd plan at
         # 3x its f32 sibling (physically impossible).  The median is
         # drift-robust and still cancels the ~26 ms dispatch overhead.
-        per = pos[len(pos) // 2] / iters
+        med = pos[len(pos) // 2]
+        per = med / n
+        spread = (pos[-1] - pos[0]) / med if len(pos) > 1 else 0.0
     else:                       # noise swamped the difference: fall back
-        per = max(best1 - call_overhead(), 1e-9) / (iters + 1)
-    return per
+        per = max(best1 - call_overhead(), 1e-9) / (n + 1)
+        spread = float("inf")
+    return per, spread, n
+
+
+def time_loop(op, x_dev, iters: int = ITERS, trials: int = 3) -> float:
+    return time_loop_stats(op, x_dev, iters, trials)[0]
 
 
 def bench_spmv(op, x, dtype: str, warmup: int = WARMUP,
@@ -140,11 +191,12 @@ def bench_spmv(op, x, dtype: str, warmup: int = WARMUP,
     .n_rows/.n_cols/.nnz)."""
     del warmup  # the in-jit loop needs no separate warmup phase
     x_dev = op._prep_x(x)
-    sec = time_loop(op, x_dev, iters)
+    sec, spread, n = time_loop_stats(op, x_dev, iters)
     d1, d2 = data_models(op.n_rows, op.n_cols, op.nnz, dtype)
     return BenchResult(
         seconds_per_iter=sec,
         gflops=2.0 * op.nnz / sec / 1e9,
         bandwidth1_gbs=d1 / sec / 1e9,
         bandwidth2_gbs=d2 / sec / 1e9,
-        preprocess_seconds=getattr(op, "preprocess_seconds", 0.0))
+        preprocess_seconds=getattr(op, "preprocess_seconds", 0.0),
+        spread=spread, timed_iters=n)

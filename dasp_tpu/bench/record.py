@@ -18,6 +18,11 @@ FIELDS = [
     "relabel",
     "dasp_pre", "dasp_time", "dasp_gflops",
     "dasp_bandwidth1", "dasp_bandwidth2",
+    # drift diagnostics: relative trial spread + the iteration count the
+    # adaptive timing loop settled on (the tunneled chip drifts +-2x with
+    # time of day; cross-round comparisons need the spread next to the
+    # number)
+    "dasp_spread", "timed_iters",
     "baseline_time", "baseline_gflops",
 ]
 
@@ -71,6 +76,8 @@ def record_from(plan, result, name: str, dtype: str,
         dasp_gflops=round(result.gflops, 3),
         dasp_bandwidth1=round(result.bandwidth1_gbs, 3),
         dasp_bandwidth2=round(result.bandwidth2_gbs, 3),
+        dasp_spread=round(getattr(result, "spread", 0.0), 4),
+        timed_iters=getattr(result, "timed_iters", 0),
     )
     if baseline is not None:
         row["baseline_time"] = round(baseline.seconds_per_iter * 1e3, 6)

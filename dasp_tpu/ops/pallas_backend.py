@@ -1006,19 +1006,28 @@ class PallasSpMV:
             it = iters if meta.interpret else jnp.int32(iters)
             return lambda x_dev: loop_r(self._arrays, x_dev, it)
 
-        @jax.jit
-        def loop(arrays, x2d):
-            def body(_, x2d):
-                y = spmv_fn(meta, arrays, x2d)
-                tap = (y["hi"] if isinstance(y, dict) else y)[0]
-                tap = tap.astype(jnp.float32) * jnp.float32(1e-36)
-                if isinstance(x2d, dict):
-                    return dict(hi=x2d["hi"] + tap, lo=x2d["lo"])
-                return x2d + tap
-            x2d = jax.lax.fori_loop(0, iters, body, x2d)
-            return spmv_fn(meta, arrays, x2d)
+        # The iteration count is a RUNTIME scalar (fori_loop with a traced
+        # bound lowers to while_loop): ONE compile serves every loop
+        # length, so the harness can scale the loop adaptively until real
+        # work dominates the ~26 ms dispatch overhead without paying a
+        # fresh 60s-6min remote compile per length.
+        loop = getattr(self, "_stream_loop_jit", None)
+        if loop is None:
+            @jax.jit
+            def loop(arrays, x2d, it):
+                def body(_, x2d):
+                    y = spmv_fn(meta, arrays, x2d)
+                    tap = (y["hi"] if isinstance(y, dict) else y)[0]
+                    tap = tap.astype(jnp.float32) * jnp.float32(1e-36)
+                    if isinstance(x2d, dict):
+                        return dict(hi=x2d["hi"] + tap, lo=x2d["lo"])
+                    return x2d + tap
+                x2d = jax.lax.fori_loop(0, it, body, x2d)
+                return spmv_fn(meta, arrays, x2d)
+            self._stream_loop_jit = loop
 
-        return lambda x_dev: loop(self._arrays, x_dev)
+        it = jnp.int32(iters)
+        return lambda x_dev: loop(self._arrays, x_dev, it)
 
     def perm_in(self, v):
         """Host: original-order vector -> the operator's internal (possibly
@@ -1201,38 +1210,44 @@ class SlabbedPallasSpMV:
         from . import dd
         slabs = self.slabs
 
-        @jax.jit
-        def loop(all_arrays, x_devs):
-            def one(x_devs):
-                y = None
-                for (lo, w, meta, _, _), arrays, xd in zip(
-                        slabs, all_arrays, x_devs):
-                    yj = spmv_fn(meta, arrays, xd)
-                    if y is None:
-                        y = yj
-                    elif isinstance(yj, dict):
-                        h, l = dd.add(y["hi"], y["lo"],
-                                      yj["hi"], yj["lo"], safe=True)
-                        y = dict(hi=h, lo=l)
-                    else:
-                        y = y + yj
-                return y
+        # runtime iteration count: one compile serves every loop length
+        # (see PallasSpMV.timing_loop)
+        loop = getattr(self, "_slab_loop_jit", None)
+        if loop is None:
+            @jax.jit
+            def loop(all_arrays, x_devs, it):
+                def one(x_devs):
+                    y = None
+                    for (lo, w, meta, _, _), arrays, xd in zip(
+                            slabs, all_arrays, x_devs):
+                        yj = spmv_fn(meta, arrays, xd)
+                        if y is None:
+                            y = yj
+                        elif isinstance(yj, dict):
+                            h, l = dd.add(y["hi"], y["lo"],
+                                          yj["hi"], yj["lo"], safe=True)
+                            y = dict(hi=h, lo=l)
+                        else:
+                            y = y + yj
+                    return y
 
-            def body(_, x_devs):
-                y = one(x_devs)
-                tap = (y["hi"] if isinstance(y, dict) else y)[0]
-                tap = tap.astype(jnp.float32) * jnp.float32(1e-36)
-                def nudge(xd):
-                    if isinstance(xd, dict):
-                        return dict(hi=xd["hi"] + tap, lo=xd["lo"])
-                    return xd + tap
-                return [nudge(xd) for xd in x_devs]
+                def body(_, x_devs):
+                    y = one(x_devs)
+                    tap = (y["hi"] if isinstance(y, dict) else y)[0]
+                    tap = tap.astype(jnp.float32) * jnp.float32(1e-36)
+                    def nudge(xd):
+                        if isinstance(xd, dict):
+                            return dict(hi=xd["hi"] + tap, lo=xd["lo"])
+                        return xd + tap
+                    return [nudge(xd) for xd in x_devs]
 
-            x_devs = jax.lax.fori_loop(0, iters, body, x_devs)
-            return one(x_devs)
+                x_devs = jax.lax.fori_loop(0, it, body, x_devs)
+                return one(x_devs)
+            self._slab_loop_jit = loop
 
         all_arrays = [a for _, _, _, a, _ in self.slabs]
-        return lambda x_devs: loop(all_arrays, x_devs)
+        it = jnp.int32(iters)
+        return lambda x_devs: loop(all_arrays, x_devs, it)
 
     def __call__(self, x):
         y = self.device_call(self._prep_x(x))

@@ -117,15 +117,22 @@ class SpMVOperator:
         fn(x_dev) -> y_dev."""
         raw, meta = self._raw_fn, self._meta
 
-        @jax.jit
-        def loop(arrays, x):
-            def body(_, x):
-                y = raw(meta, arrays, x)
-                return xla_backend.perturb_x(x, y)
-            x = jax.lax.fori_loop(0, iters, body, x)
-            return raw(meta, arrays, x)
+        # runtime iteration count: one compile serves every loop length
+        # (see PallasSpMV.timing_loop)
+        loop = getattr(self, "_loop_jit", None)
+        if loop is None:
+            @jax.jit
+            def loop(arrays, x, it):
+                def body(_, x):
+                    y = raw(meta, arrays, x)
+                    return xla_backend.perturb_x(x, y)
+                x = jax.lax.fori_loop(0, it, body, x)
+                return raw(meta, arrays, x)
+            self._loop_jit = loop
 
-        return lambda x_dev: loop(self._arrays, x_dev)
+        import jax.numpy as jnp
+        it = jnp.int32(iters)
+        return lambda x_dev: loop(self._arrays, x_dev, it)
 
     def perm_in(self, v):
         """Interface parity with PallasSpMV (the XLA executor never
