@@ -971,6 +971,11 @@ class PallasSpMV:
         # STATICALLY specialized from it (resident.py:_og_program)
         self._src_host = (arrays["out_src"].copy()
                           if arrays.get("resident") is not None else None)
+        # incidence band offsets are STATIC kernel parameters (plain
+        # ints): keep them host-side — device_put would turn them into
+        # traced i32 scalars the kernel can't close over
+        self._big_c0_host = (arrays["resident"].pop("big_c0", None)
+                             if arrays.get("resident") is not None else None)
         self._arrays = jax.device_put(arrays)
         self._fn = jax.jit(spmv_fn, static_argnums=0)
         self.preprocess_seconds = time.perf_counter() - t0
@@ -998,7 +1003,8 @@ class PallasSpMV:
             from . import resident as _resident
             loop_r = getattr(self, "_resident_jit", None)
             if loop_r is None:
-                rfn = _resident.make_resident_loop(meta, self._src_host)
+                rfn = _resident.make_resident_loop(meta, self._src_host,
+                                                   self._big_c0_host)
                 # dynamic grid needs a real Mosaic lowering; interpret
                 # mode gets a static per-iters retrace instead (cheap)
                 loop_r = self._resident_jit = jax.jit(

@@ -76,7 +76,9 @@ def resident_bytes(meta, arrays) -> int:
                 n += a.nbytes if hasattr(a, "nbytes") else 0
     n += arrays["out_perm"].nbytes
     pair = 2 if meta.dtype == "f64" else 1    # dd carries hi/lo pairs
-    n += meta.s_rows * LANES * 4 * 2 * pair   # x operand + x scratch
+    # x input stays in HBM (ANY space, DMA'd into scratch at t==0):
+    # only the x_scr copy occupies VMEM
+    n += meta.s_rows * LANES * 4 * pair       # x scratch
     part_rows = sum(NV * (SUB // st) for _, st, NV in meta.streams)
     n += part_rows * LANES * 4 * pair         # partials scratch
     n += (meta.n_y2_rows + 1) * LANES * 4 * pair   # y2 scratch
@@ -104,12 +106,17 @@ def resident_bytes(meta, arrays) -> int:
     return n
 
 
-def smem_bytes(meta, arrays) -> int:
+def smem_bytes(meta, arrays, static_og: bool = True) -> int:
     # SMEM charges per ROW (each row pads to a full 512 B word line), so
     # the scalar tables are stored TRANSPOSED: (P+1, NV) / (k, B_pad).
+    # With the statically specialized outgather (the production path —
+    # PallasSpMV always hands make_resident_loop the host src table) the
+    # (k, B_pad) src_t table is baked into the program and never shipped,
+    # so it must not count against the SMEM gate (it alone is ~450 KB on
+    # wikitalk-class plans and wrongly blocked them from resident mode).
     def row_cost(rows, cols):
         return rows * max(-(-cols // LANES) * LANES, LANES) * 4
-    n = row_cost(meta.k_used, meta.B_pad)
+    n = 0 if static_og else row_cost(meta.k_used, meta.B_pad)
     for (P, _, NV) in meta.streams:
         n += row_cost(P + 1, NV)
     return n
@@ -207,6 +214,23 @@ def prepare(meta, arrays) -> None:
                 vv = vv[vv < NV_pad]
                 np.add.at(big[p], vv, 1.0)
         res["bigs"] = bigs
+        # Column-band trim (exact): long groups are packed contiguously
+        # within each stream, so every incidence matrix's nonzero columns
+        # form one contiguous band (measured: band width == nnz-column
+        # count on wikitalk-class plans).  Ship only the band — the
+        # kernel slices the totals scratch at tot_base[si]+c0.  8-aligned
+        # for clean sublane slicing; saves ~35% of the bigs footprint
+        # and the same fraction of the incidence-matmul MXU work.
+        res["big_c0"] = {}
+        for si, big in list(bigs.items()):
+            nzc = np.nonzero(big.any(axis=0))[0]
+            if nzc.size == 0:
+                continue
+            c0 = int(nzc[0]) // SUB * SUB
+            c1 = min(-(-(int(nzc[-1]) + 1) // SUB) * SUB, big.shape[1])
+            if c0 > 0 or c1 < big.shape[1]:
+                bigs[si] = np.ascontiguousarray(big[:, c0:c1])
+                res["big_c0"][si] = c0
         res["split"] = {}
         if meta.dtype == "f64":
             # The incidence matmul f32-accumulates one add per nonzero
@@ -258,8 +282,20 @@ def prepare(meta, arrays) -> None:
         # (a) the outgather lane-permutation table holds lanes 0..127 —
         #     int8 instead of int32 (kernel upcasts per chunk);
         res["perm8"] = arrays["out_perm"].astype(np.int8)
+    if resident_bytes(meta, arrays) > RESIDENT_BUDGET and meta.n_long:
+        # (b) the long-row incidence matrices hold small integer
+        #     multiplicities (0/1 almost everywhere; measured max 58 on
+        #     wikitalk-class plans) in dense f32 — 44 MB for ~5k nonzeros
+        #     on wikitalk.  Store them int8 (exact; kernel upcasts before
+        #     the MXU matmul, a ~µs VPU convert) when that is what makes
+        #     the plan fit.  Values over int8 range keep f32 (unobserved).
+        def _i8(a):
+            return a.astype(np.int8) if a.max(initial=0) <= 127 else a
+        res["bigs"] = {si: _i8(a) for si, a in res["bigs"].items()}
+        res["split"] = {si: (_i8(p[0]), _i8(p[1]))
+                        for si, p in res.get("split", {}).items()}
     if resident_bytes(meta, arrays) > RESIDENT_BUDGET and meta.dtype == "f64":
-        # (b) dd lo-value streams as bf16: lo carries hi's rounding
+        # (c) dd lo-value streams as bf16: lo carries hi's rounding
         #     residual (<= 2^-24 |v|), so bf16's 8-bit mantissa still
         #     bounds the value error at ~2^-33 |v| — end-to-end ~1e-9
         #     instead of ~1e-13, far inside the reference's 1e-5
@@ -306,7 +342,7 @@ def _og_program(src_np, Z: int, RU: int):
     return prog
 
 
-def make_resident_loop(meta, src_static=None):
+def make_resident_loop(meta, src_static=None, big_c0_static=None):
     """Build fn(arrays, x2d, iters) -> y (n_rows,) running ``iters``
     chained iterations resident in VMEM.  ``iters`` may be a TRACED
     scalar: the grid dimension is dynamic, so one compile serves every
@@ -336,8 +372,10 @@ def make_resident_loop(meta, src_static=None):
     if DD:
         from . import dd
 
-    def kernel_factory(res_keys, og_prog, split_keys=frozenset()):
+    def kernel_factory(res_keys, og_prog, split_keys=frozenset(),
+                       big_c0=None):
         have_long = bool(meta.n_long)
+        big_c0 = big_c0 or {}
 
         def kernel(*refs):
             i = 0
@@ -381,19 +419,28 @@ def make_resident_loop(meta, src_static=None):
                 if have_long:
                     tot = refs[i]; i += 1
                 scr = refs[i]; i += 1
+            x_sem = refs[i]; i += 1
 
             t = pl.program_id(0)
 
             @pl.when(t == 0)
             def _init():
+                # x arrives in HBM (memory_space=ANY: no VMEM input block
+                # — the resident copy lives only in x_scr, saving
+                # S*LANES*4*pair bytes of the budget) and is DMA'd into
+                # the scratch once; every iteration reads/updates x_scr.
                 if DD:
-                    x_scr[0][...] = x_in[0][...]
-                    x_scr[1][...] = x_in[1][...]
+                    for j in (0, 1):
+                        cp = pltpu.make_async_copy(x_in[j], x_scr[j], x_sem)
+                        cp.start()
+                        cp.wait()
                     z1 = jnp.zeros((1, LANES), jnp.float32)
                     y2[0][pl.ds(Z, 1), :] = z1
                     y2[1][pl.ds(Z, 1), :] = z1
                 else:
-                    x_scr[...] = x_in[...]
+                    cp = pltpu.make_async_copy(x_in, x_scr, x_sem)
+                    cp.start()
+                    cp.wait()
                     y2[pl.ds(Z, 1), :] = jnp.zeros((1, LANES), jnp.float32)
 
             # ---- colsum into partials scratch -------------------------
@@ -574,18 +621,23 @@ def make_resident_loop(meta, src_static=None):
                     # combine with compensated adds
                     s_h = s_l = None
                     for si in long_streams:
-                        NV = meta.streams[si][2]
-                        t_h = tot[0][pl.ds(tot_base[si], NV), :]
-                        t_l = tot[1][pl.ds(tot_base[si], NV), :]
                         br = big_refs[si]
+                        # trimmed incidence width (big_c0): slice the
+                        # totals at the band offset
+                        W = (br[0] if isinstance(br, tuple) else br).shape[1]
+                        tb = tot_base[si] + big_c0.get(si, 0)
+                        t_h = tot[0][pl.ds(tb, W), :]
+                        t_l = tot[1][pl.ds(tb, W), :]
                         if isinstance(br, tuple):
                             # fan-in > cap: two-level cascade (prepare)
-                            b1, b2 = br[0][...], br[1][...]
+                            b1 = br[0][...].astype(jnp.float32)
+                            b2 = br[1][...].astype(jnp.float32)
                             th = mm(b2, mm(b1, t_h))
                             tl = mm(b2, mm(b1, t_l))
                         else:
-                            th = mm(br[...], t_h)
-                            tl = mm(br[...], t_l)
+                            b = br[...].astype(jnp.float32)
+                            th = mm(b, t_h)
+                            tl = mm(b, t_l)
                         if s_h is None:
                             s_h, s_l = th, tl
                         else:
@@ -606,9 +658,10 @@ def make_resident_loop(meta, src_static=None):
                 else:
                     s_row = None
                     for si in long_streams:
-                        NV = meta.streams[si][2]
-                        term = mm(big_refs[si][...],
-                                  tot[pl.ds(tot_base[si], NV), :])
+                        W = big_refs[si].shape[1]
+                        tb = tot_base[si] + big_c0.get(si, 0)
+                        term = mm(big_refs[si][...].astype(jnp.float32),
+                                  tot[pl.ds(tb, W), :])
                         s_row = term if s_row is None else s_row + term
                     # broadcast the per-scalar lane sum across lanes, then
                     # scatter scalars to their 127-packed (row, lane) homes
@@ -748,8 +801,9 @@ def make_resident_loop(meta, src_static=None):
                                          memory_space=pltpu.VMEM))
             operands.append(st["idx"])
         x_spec_idx = len(in_specs)
-        xspec = pl.BlockSpec((S, LANES), lambda t: (0, 0),
-                             memory_space=pltpu.VMEM)
+        # x stays in HBM (ANY): the kernel DMAs it into x_scr at t==0, so
+        # no VMEM input block is allocated for it (see _init)
+        xspec = pl.BlockSpec(memory_space=pl.ANY)
         in_specs.append(xspec)
         if DD:
             in_specs.append(xspec)
@@ -789,12 +843,14 @@ def make_resident_loop(meta, src_static=None):
             scratch += [pltpu.VMEM((max(tacc, 8), LANES),
                                    jnp.float32)] * rep
         scratch += [pltpu.VMEM((RU, LANES), jnp.float32)] * rep
+        scratch.append(pltpu.SemaphoreType.DMA)      # x HBM->VMEM copy
 
         ospec = pl.BlockSpec((meta.B_pad, LANES), lambda t: (0, 0),
                              memory_space=pltpu.VMEM)
         oshape = jax.ShapeDtypeStruct((meta.B_pad, LANES), jnp.float32)
         call = pl.pallas_call(
-            kernel_factory(res_keys, og_prog, frozenset(split)),
+            kernel_factory(res_keys, og_prog, frozenset(split),
+                           big_c0_static),
             grid=(iters,),
             in_specs=in_specs,
             out_specs=(ospec, ospec) if DD else ospec,
