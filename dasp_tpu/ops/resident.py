@@ -46,9 +46,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..wplan import SUB, LANES, LONG_PACK
 from ..utils import gc_paused
 
-# Confirmed working at 100.7 MB of resident operands (resident_probe.py);
-# leave headroom for Mosaic's own scratch.
-RESIDENT_BUDGET = 96 * 1024 * 1024
+# Confirmed working at 100.7 MB of resident operands (resident_probe.py).
+# The margin to the 128 MB capacity is NOT slack: Mosaic's compiled
+# program carries ~33 MB of its own window/temporary allocations on top
+# of our operand accounting (measured on the 106 MB webbase dd plan,
+# which compiled to a 139.2 MB program and was rejected).  Overridable
+# for probes.
+import os as _os
+RESIDENT_BUDGET = int(_os.environ.get("DASP_RES_BUDGET",
+                                      96 * 1024 * 1024))
 VMEM_LIMIT = 128 * 1024 * 1024
 SMEM_BUDGET = 512 * 1024
 SEG_CHUNK = 8        # slices folded per segment-loop step

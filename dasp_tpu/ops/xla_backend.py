@@ -303,18 +303,30 @@ def spmv_scatter_fn(meta: PlanMeta, arrays: Dict, x):
         pos_list.append(arrays["pair13"]["pos3"])
     pos_list.extend(s["pos"] for s in arrays["shorts"])
     for out, pos in zip(_segment_outputs(alg, meta, arrays, x), pos_list):
+        # segment pos ranges are disjoint and land on zero slots, so the
+        # component-wise scatter-add is EXACT even for dd hi/lo pairs
         y_perm = alg.scatter(y_perm, pos, out)
-    y_perm = _remainder_scatter(alg, arrays, x, y_perm)
+    y_perm = _remainder_scatter(alg, meta, arrays, x, y_perm)
     y = alg.take(y_perm, arrays["inv_perm"])
     return alg.finalize(y)
 
 
-def _remainder_scatter(alg, arrays: Dict, x, y_perm):
+def _remainder_scatter(alg, meta: PlanMeta, arrays: Dict, x, y_perm):
+    """Remainder tails COLLIDE with segment outputs (same row positions),
+    so for dd they must not be component-added into y_perm (hi+hi rounds
+    and the carry is lost => ~1e-7).  Mirror ``_remainder_into``: scatter
+    into a separate zero buffer (exact except tail-vs-tail collisions,
+    whose error is ~2^-24 of the small tails), then one renormalizing
+    ``combine`` (dd.add) against y_perm — restoring full dd accuracy on
+    the multi-chip executor path."""
+    if not arrays["remainder"]:
+        return y_perm
+    scattered = alg.zeros((meta.n_perm + 1,))
     for g in arrays["remainder"]:
         xg = alg.gather_x(x, g["cols"])
         r = alg.sum(alg.mul(g["vals"], xg), 1)
-        y_perm = alg.scatter(y_perm, g["pos"], alg.reshape(r, (-1,)))
-    return y_perm
+        scattered = alg.scatter(scattered, g["pos"], alg.reshape(r, (-1,)))
+    return alg.combine(y_perm, scattered)
 
 
 def perturb_x(x, y):
