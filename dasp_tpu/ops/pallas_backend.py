@@ -19,6 +19,7 @@ Between them sit only cheap XLA reshape-sums over the (NV,128) partials.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -233,6 +234,10 @@ def _make_colsum_multi(P: int, S: int, NV: int, interpret: bool,
 
 
 BV_DYN = 8       # vregs per dynamic-round grid step
+# dd plans whose streams exceed this (= the VMEM-resident budget: they will
+# stream from HBM every iteration) store the lo value stream as bf16
+DD_LO16_MIN_BYTES = int(os.environ.get("DASP_DD_LO16_MIN",
+                                       96 * 1024 * 1024))
 
 
 def _make_colsum_dyn(P: int, S: int, NV: int, interpret: bool):
@@ -298,7 +303,9 @@ def _make_colsum_dyn_dd(P: int, S: int, NV: int, interpret: bool):
         for v in range(BV_DYN):
             idx = idx_ref[pl.ds(v * SUB, SUB), :].astype(jnp.int32)
             vh = vh_ref[pl.ds(v * SUB, SUB), :]
-            vl = vl_ref[pl.ds(v * SUB, SUB), :]
+            # lo may be stored bf16 (big-plan footprint gate in
+            # plan_to_arrays); the upcast is a no-op for f32
+            vl = vl_ref[pl.ds(v * SUB, SUB), :].astype(jnp.float32)
             lam = jax.lax.bitwise_and(idx, 127)
             q = jax.lax.bitwise_and(jax.lax.shift_right_logical(idx, 7), 7)
             rnd = jax.lax.shift_right_logical(idx, 10)
@@ -371,7 +378,8 @@ def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool,
                 v = u * UNROLL + k
                 idx = idx_ref[pl.ds(v * SUB, SUB), :].astype(jnp.int32)
                 vh = vh_ref[pl.ds(v * SUB, SUB), :]
-                vl = vl_ref[pl.ds(v * SUB, SUB), :]
+                # lo may be stored bf16 (big-plan gate); no-op for f32
+                vl = vl_ref[pl.ds(v * SUB, SUB), :].astype(jnp.float32)
                 lam = jax.lax.bitwise_and(idx, 127)
                 q = jax.lax.bitwise_and(
                     jax.lax.shift_right_logical(idx, 7), 7)
@@ -635,6 +643,27 @@ def plan_to_arrays(plan, dtype: str = "f32",
             entry["vals"] = vals
         arrays["streams"].append(entry)
         stream_shapes.append((s.P, s.stride, nv_pad))
+
+    if dtype == "f64":
+        # HBM-bandwidth gate: plans too big for VMEM residency stream every
+        # iteration, and the dd lo-value stream is 40% of their traffic
+        # (4B of 10B/slot).  lo carries hi's rounding residual
+        # (<= 2^-24 |v|), so storing it bf16 bounds the value error at
+        # ~2^-33 |v| — end-to-end ~1e-9 instead of ~1e-13, still four
+        # digits inside the reference's 1e-5 verification contract
+        # (main_f64.cu:8).  Small plans (every test, and anything the
+        # resident executor can take) keep full f32 lo.
+        sbytes = sum(a.nbytes for e in arrays["streams"]
+                     for a in e.values())
+        # dynamic-round (P>32) streams also bar the resident executor
+        # (resident.py:eligible), so mid-size power-law plans with them
+        # stream from HBM every iteration too; the 16 MB floor keeps
+        # small (test-scale, latency-bound) plans at full f32 lo.
+        has_dyn = any(P > 32 for (P, _, _) in stream_shapes)
+        if sbytes > DD_LO16_MIN_BYTES or (has_dyn and
+                                          sbytes > DD_LO16_MIN_BYTES // 6):
+            for e in arrays["streams"]:
+                e["vals_lo"] = e["vals_lo"].astype(ml_dtypes.bfloat16)
 
     sell_segs = tuple((g.stream, g.vreg_offset, g.n_slices, g.w8, g.stride)
                       for g in plan.sell)

@@ -63,6 +63,22 @@ def window_spread(csr: CSRMatrix, col_perm=None,
     return _spread(rows >> 7, cols, csr.n_cols)
 
 
+def _sample_elements(csr: CSRMatrix, sample: int):
+    """(row_ids, col_ids) of an evenly strided element subsample, computed
+    WITHOUT materializing the nnz-sized row-id expansion first (on a 69
+    Mnnz input that expansion is 550 MB of traffic for a 4M-element
+    decision sample; searchsorted over the sampled positions is O(sample
+    * log n) instead)."""
+    if csr.nnz > sample:
+        step = csr.nnz // sample
+        idx = np.arange(0, csr.nnz, step, dtype=np.int64)
+        rows = np.searchsorted(csr.row_ptr, idx, side="right") - 1
+        return rows.astype(np.int64), csr.col_idx[idx].astype(np.int64)
+    rows = np.repeat(np.arange(csr.n_rows, dtype=np.int64),
+                     csr.row_lengths)
+    return rows, csr.col_idx.astype(np.int64)
+
+
 def _distinct_pairs(blk: np.ndarray, wins: np.ndarray, W: int) -> int:
     key = blk * W + wins
     B = int(blk.max()) + 1 if blk.size else 1
@@ -87,12 +103,7 @@ def choose_relabel(csr: CSRMatrix, hub_min_deg: int = 4,
     if csr.nnz == 0:
         return None
     perm = first_touch_perm(csr, hub_min_deg)
-    rows = np.repeat(np.arange(csr.n_rows, dtype=np.int64),
-                     csr.row_lengths)
-    cols = csr.col_idx.astype(np.int64)
-    if rows.size > sample:
-        step = rows.size // sample
-        rows, cols = rows[::step], cols[::step]
+    rows, cols = _sample_elements(csr, sample)
     W = (csr.n_cols >> 10) + 1
     before = _distinct_pairs(rows >> 7, cols >> 10, W)
     prows = perm[rows] if symmetric else rows
@@ -221,9 +232,19 @@ def first_touch_perm(csr: CSRMatrix, hub_min_deg: int = 4) -> np.ndarray:
     hubs = hubs[np.argsort(-deg[hubs], kind="stable")]
     is_hub = np.zeros(csr.n_cols, dtype=bool)
     is_hub[hubs] = True
-    tail_seq = csr.col_idx[~is_hub[csr.col_idx]]
-    _, first_pos = np.unique(tail_seq, return_index=True)
-    tail = tail_seq[np.sort(first_pos)]
+    # First-touch position per column via one reversed scatter (duplicate
+    # indices: the LAST write wins, so feeding the traversal reversed
+    # leaves each column's FIRST occurrence) — replaces an np.unique sort
+    # over the nnz-sized tail sequence (a 69M-element sort on
+    # soc-LiveJournal1-scale inputs) with an O(nnz) pass plus an argsort
+    # over columns only.  Masking preserved relative order, so first-touch
+    # order within the tail == first-touch order in the full traversal.
+    first_pos = np.empty(csr.n_cols, dtype=np.int64)
+    first_pos[csr.col_idx[::-1]] = np.arange(csr.nnz - 1, -1, -1,
+                                             dtype=np.int64)
+    touched_tail = (deg > 0) & ~is_hub
+    tail = np.flatnonzero(touched_tail)
+    tail = tail[np.argsort(first_pos[tail], kind="stable")]
     untouched = np.flatnonzero((deg == 0) & ~is_hub)
     newpos = np.empty(csr.n_cols, dtype=np.int64)
     order = np.concatenate([hubs, tail, untouched])
@@ -278,11 +299,7 @@ def choose_row_sort(csr: CSRMatrix, block_longest: int = 256,
     perm = row_sort_perm(csr)
     if perm is None:
         return None
-    rows = np.repeat(np.arange(n, dtype=np.int64), csr.row_lengths)
-    cols = csr.col_idx.astype(np.int64)
-    if rows.size > sample:
-        step = rows.size // sample
-        rows, cols = rows[::step], cols[::step]
+    rows, cols = _sample_elements(csr, sample)
     W = (csr.n_cols >> 10) + 1
     sp_now = _distinct_pairs(rows >> 7, cols >> 10, W)
     sp_sorted = _distinct_pairs(perm[rows] >> 7, cols >> 10, W)

@@ -34,7 +34,15 @@ class CSRMatrix:
 
     @property
     def row_lengths(self) -> np.ndarray:
-        return np.diff(self.row_ptr)
+        # Cached: the packer and the relabel policies read this repeatedly
+        # and an np.diff over multi-M rows is a full memory pass each time.
+        # CSRMatrix is treated as immutable everywhere (permutations build
+        # new instances), so memoization is safe.
+        rl = self.__dict__.get("_row_lengths")
+        if rl is None:
+            rl = np.diff(self.row_ptr)
+            self.__dict__["_row_lengths"] = rl
+        return rl
 
     def check(self) -> None:
         """Validate structural invariants."""

@@ -444,8 +444,8 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     _pt('sell')
     # ---- per-block SELL slices + per-block remainder tails --------------
     # lane assignment per block: sell rows length-desc, pads last.
-    block_lane_of_row = np.full(n, -1, dtype=np.int64)     # lane in slice b
-    block_pad_lane = np.full(B, -1, dtype=np.int64)        # a zero lane
+    block_lane_of_row = np.full(n, -1, dtype=np.int32)     # lane in slice b
+    block_pad_lane = np.full(B, -1, dtype=np.int32)        # a zero lane
 
     # Row fragments emitted as long-style scalar outputs (big tails that
     # would otherwise inflate a 128-lane slice's width).
@@ -483,9 +483,20 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         n_sell_b = np.bincount(blk[sellable], minlength=B)
         block_pad_lane[:] = np.where(n_sell_b < LANES, n_sell_b, -1)
 
-        Lmat = np.zeros((B, LANES), dtype=np.int64)
+        Lmat = np.zeros((B, LANES), dtype=np.int32)
         Lmat[blk[order], lane_sorted] = np.where(sel_sorted, lens[order], 0)
-        nnz_sell_b = Lmat.sum(axis=1)
+        nnz_sell_b = Lmat.sum(axis=1, dtype=np.int64)
+        # Coverage per clip threshold, computed ONCE per distinct s*c value
+        # (the s x W8 double loop below otherwise re-reduces the (B,128)
+        # matrix ~48 times; {s*c} collapses to ~9 distinct powers of two).
+        _cov_cache: Dict[int, np.ndarray] = {}
+
+        def _coverage(clip: int) -> np.ndarray:
+            cov = _cov_cache.get(clip)
+            if cov is None:
+                cov = np.minimum(Lmat, clip).sum(axis=1, dtype=np.int64)
+                _cov_cache[clip] = cov
+            return cov
         # per (stride, W8): coverage and the occupancy-chosen width, then
         # pick the stride minimizing slots + spill cost.  A spilled element
         # lands in the stride-8 shared rem slices at low occupancy (~8
@@ -500,11 +511,10 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         for s in (SUB, 4, 2, 1):
             w8_s = np.full(B, W8_CLASSES[0], dtype=np.int64)
             for c in W8_CLASSES:
-                occ = np.minimum(Lmat, s * c).sum(axis=1) / (LANES * s * c)
+                occ = _coverage(s * c) / (LANES * s * c)
                 w8_s = np.where(occ >= config.threshold, c, w8_s)
             cover = np.take_along_axis(
-                np.stack([np.minimum(Lmat, s * c).sum(axis=1)
-                          for c in W8_CLASSES]),
+                np.stack([_coverage(s * c) for c in W8_CLASSES]),
                 np.searchsorted(np.array(W8_CLASSES), w8_s)[None], 0)[0]
             cost = LANES * s * w8_s + SPILL_W * (nnz_sell_b - cover)
             if best_cost is None:          # s == 8: the reference choice
@@ -730,8 +740,8 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # level so one outgather source per bucket suffices; conflict rejects
     # spill to the rem levels.
     ALL_BUCKETS = SHORT_BUCKETS + MED_BUCKETS
-    short_lane_of_row = np.full(n, -1, dtype=np.int64)
-    short_bucket_of_row = np.full(n, -1, dtype=np.int64)
+    short_lane_of_row = np.full(n, -1, dtype=np.int32)
+    short_bucket_of_row = np.full(n, -1, dtype=np.int32)
     short_slice_of_block = [np.full(B, -1, dtype=np.int64)
                             for _ in ALL_BUCKETS]
     short_level_of_block = [np.zeros(B, dtype=np.int64)
@@ -852,7 +862,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # the output gather needs a single source per block per level.  Two
     # levels run (conflicts of level 1 re-route in level 2); the dregs
     # fall to the COO overflow.
-    rem_lane_of_row = [np.full(n, -1, dtype=np.int64) for _ in range(2)]
+    rem_lane_of_row = [np.full(n, -1, dtype=np.int32) for _ in range(2)]
     rem_slice_of_block = [np.full(B, -1, dtype=np.int64) for _ in range(2)]
     n_rem_slices = [0, 0]
     NEIGHBORHOOD = 8          # blocks per shared slice (locality bound)
@@ -1560,8 +1570,12 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     kcur = np.zeros(B, dtype=np.int64)
 
     def _padmat(arr, fill=-1):
-        m = np.full(B * LANES, fill, dtype=np.int64)
+        # np.empty + tail-only fill: a full np.full memset of the B*LANES
+        # buffer per call measurably dominated this phase on multi-M-row
+        # inputs (only the [n:] padding needs the sentinel).
+        m = np.empty(B * LANES, dtype=np.int32)
         m[:n] = arr
+        m[n:] = fill
         return m.reshape(B, LANES)
 
     def _emit(idx, src, perm):
@@ -1607,13 +1621,14 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # long/fragment scalars (contiguous positions in row order per block,
     # so a block's scalars span at most 2 consecutive y2 scalar rows)
     if scalar_owners:
-        spos_arr = np.full(n, -1, dtype=np.int64)
+        spos_arr = np.full(n, -1, dtype=np.int32)
         so = np.asarray(scalar_owners, dtype=np.int64)
-        spos_arr[so] = np.arange(so.size)
+        spos_arr[so] = np.arange(so.size, dtype=np.int32)
         sp_mat = _padmat(spos_arr)
         has = sp_mat >= 0
-        srow_mat = np.where(has, long_row_base + sp_mat // LONG_PACK, -1)
-        BIG = np.int64(1) << 62
+        srow_mat = np.where(has, long_row_base + sp_mat // LONG_PACK,
+                            np.int32(-1))
+        BIG = np.int32(np.iinfo(np.int32).max)
         row_min = np.where(has, srow_mat, BIG).min(axis=1)
         row_max = srow_mat.max(axis=1)
         valid = row_max >= 0
@@ -1642,22 +1657,25 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                             np.concatenate(ovf_v))
 
     padded = sum(s.vals.size for s in streams)
+    # one clipped bincount instead of a comparison pass per length class
+    lc = np.bincount(np.minimum(lens, 5), minlength=6) if n else \
+        np.zeros(6, dtype=np.int64)
     census = {
         "row_long": int(long_rows.size),
-        "row_block": int(np.sum(~is_long & (lens > 0))),
-        "row_zero": int(np.sum(lens == 0)),
+        "row_block": int(n - lc[0] - long_rows.size),
+        "row_zero": int(lc[0]),
         "n_overflow": int(orows.size) if ovf_r else 0,
-        "short_row_1": int(np.sum(lens == 1)),
-        "short_row_2": int(np.sum(lens == 2)),
-        "short_row_3": int(np.sum(lens == 3)),
-        "short_row_4": int(np.sum(lens == 4)),
+        "short_row_1": int(lc[1]),
+        "short_row_2": int(lc[2]),
+        "short_row_3": int(lc[3]),
+        "short_row_4": int(lc[4]),
         # strided/bucketed structure counts (no reference analog: the
         # short strategies there are kernel dispatch ranges)
         "bucket_slices": [int(ns) for ns in n_short_slices],
         "rem_slices": [int(ns) for ns in n_rem_slices],
         "n_frag": int(len(frags)),
         # nnz per category (reference CSV fields, dasp_f64.h:1440)
-        "nnz_short": int(lens[(lens >= 1) & (lens <= 4)].sum()),
+        "nnz_short": int(lc[1] + 2 * lc[2] + 3 * lc[3] + 4 * lc[4]),
         "nnz_long": int(lens[is_long].sum()),
     }
     # Per-category padded/original element counts — the reference's primary

@@ -58,6 +58,21 @@ def test_spmv_long_rows_only(rng, dtype):
     _check(csr, rng, dtype, 1e-5 if dtype == "f32" else 1e-9, 1e-5)
 
 
+def test_spmv_dd_lo_bf16_gate(rng, monkeypatch):
+    """Big dd plans store the lo value stream bf16 (plan_to_arrays gate):
+    accuracy relaxes from ~1e-13 to ~1e-9 but stays four digits inside the
+    reference's 1e-5 contract (main_f64.cu:8)."""
+    from dasp_tpu.ops import pallas_backend as pb
+    monkeypatch.setattr(pb, "DD_LO16_MIN_BYTES", 0)   # force the gate
+    csr = CASES["mixed"](rng)
+    x = rng.standard_normal(csr.n_cols)
+    op = SpMVOperator(csr, dtype="f64")
+    y = np.asarray(op(x), dtype=np.float64)
+    gold = csr.spmv(x)
+    scale = np.max(np.abs(gold)) + 1e-30
+    np.testing.assert_allclose(y, gold, rtol=0, atol=1e-7 * scale)
+
+
 def test_spmv_empty_matrix(rng):
     csr = random_csr(50, 50, np.zeros(50, dtype=np.int64), rng)
     op = SpMVOperator(csr, dtype="f32", backend="xla")
