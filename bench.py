@@ -256,7 +256,11 @@ def main() -> int:
                 append_record(f"{args.csv_dir}/spmv_{dtype}_record.csv",
                               record_from(op.plan, res, name, dtype,
                                           base_res if dtype == "f32"
-                                          else None))
+                                          else None,
+                                          variant=("resident"
+                                                   if getattr(op, "resident",
+                                                              False)
+                                                   else "streamed")))
             print(f"# {name} {dtype}: {res.gflops:.2f} GFLOP/s "
                   f"({res.seconds_per_iter*1e6:.1f} us/iter, "
                   f"bw {res.bandwidth2_gbs:.1f} GB/s model2)"

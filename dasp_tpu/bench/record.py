@@ -15,7 +15,7 @@ FIELDS = [
     "nnz_short", "fill0_nnz_short", "nnz_long", "fill0_nnz_long",
     "origin_nnz_reg", "fill0_nnz_reg", "nnz_irreg",
     "rate_fill0", "block_longest", "data_X",
-    "relabel",
+    "relabel", "variant",
     "dasp_pre", "dasp_time", "dasp_gflops",
     "dasp_bandwidth1", "dasp_bandwidth2",
     # drift diagnostics: relative trial spread + the iteration count the
@@ -46,7 +46,7 @@ def append_record(path: str, row: Dict) -> None:
 
 
 def record_from(plan, result, name: str, dtype: str,
-                baseline=None) -> Dict:
+                baseline=None, variant: str = "") -> Dict:
     from .harness import data_models
     data1, _ = data_models(plan.n_rows, plan.n_cols, plan.nnz, dtype)
     c = plan.census
@@ -71,6 +71,11 @@ def record_from(plan, result, name: str, dtype: str,
         # is the relabel decision actually taken for this matrix)
         relabel=("on" if getattr(plan, "col_perm", None) is not None
                  else "off"),
+        # which executor actually timed this row: "resident" (chained
+        # iterations out of VMEM, ops/resident.py) vs "streamed" (HBM
+        # per-iteration) — the second per-matrix variant axis next to
+        # the relabel decision
+        variant=variant,
         dasp_pre=round(result.preprocess_seconds * 1e3, 3),
         dasp_time=round(result.seconds_per_iter * 1e3, 6),
         dasp_gflops=round(result.gflops, 3),

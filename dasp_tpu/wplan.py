@@ -895,6 +895,11 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         row_start = np.zeros(urows_all.size + 1, dtype=np.int64)
         np.cumsum(row_counts, out=row_start[1:])
         ublocks = urows_all // LANES
+        # per-block [start, end) ranges into the sorted urows_all — the
+        # former per-block ``ublocks == b`` scans were O(blocks x rows)
+        # and dominated this phase on power-law overflow pools
+        ubs_all, ub_start = np.unique(ublocks, return_index=True)
+        ub_end = np.append(ub_start[1:], ublocks.size)
 
         def emit(slice_rows, member_blocks):
             sid = n_rem_slices[level]
@@ -913,8 +918,12 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                                                   np.cumsum(cnt)[:-1]]),
                                   cnt)))
             er, ec, ev = o_rows[sel], o_cols[sel], o_vals[sel]
-            lane_of = {int(r): i for i, r in enumerate(slice_rows)}
-            lanes_e = np.array([lane_of[int(r)] for r in er])
+            # lane of each element = position of its row in slice_rows
+            # (vectorized: slice_rows is small but er can be the whole
+            # element pool — a per-element Python dict lookup cost ~40%
+            # of the rem phase on wikitalk)
+            sr_sort = np.argsort(slice_rows, kind="stable")
+            lanes_e = sr_sort[np.searchsorted(slice_rows[sr_sort], er)]
             order2 = np.lexsort((ec, lanes_e))
             lanes_e, ec, ev, er = (lanes_e[order2], ec[order2],
                                    ev[order2], er[order2])
@@ -996,32 +1005,31 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         # PROFILE so each slice's occupancy-chosen width fits its rows
         # (length heterogeneity, not locality, dominated its padding).
         if level == 0:
-            block_order = np.unique(ublocks)
+            block_order = ubs_all
         else:
-            ubs = np.unique(ublocks)
-            prof = np.array([row_counts[ublocks == b].max() for b in ubs])
-            block_order = ubs[np.argsort(prof, kind="stable")]
+            prof = np.maximum.reduceat(row_counts, ub_start) \
+                if ub_start.size else np.zeros(0, dtype=row_counts.dtype)
+            block_order = ubs_all[np.argsort(prof, kind="stable")]
         rem_used = (rem_slice_of_block[0] >= 0).astype(np.int64) \
             + (rem_slice_of_block[1] >= 0)
         cur_rows, cur_blocks, cur_count = [], [], 0
         for b in block_order:
+            j = int(np.searchsorted(ubs_all, b))
+            u0, u1 = int(ub_start[j]), int(ub_end[j])
             if rem_used[b] >= rem_budget[b]:
                 # block out of outgather slots: rows cascade onward
-                br = urows_all[ublocks == b]
-                ri = np.searchsorted(urows_all, br)
-                for i in ri:
-                    s0, s1 = row_start[i], row_start[i + 1]
-                    left_r.append(o_rows[s0:s1])
-                    left_c.append(o_cols[s0:s1])
-                    left_v.append(o_vals[s0:s1])
+                s0, s1 = row_start[u0], row_start[u1]
+                left_r.append(o_rows[s0:s1])
+                left_c.append(o_cols[s0:s1])
+                left_v.append(o_vals[s0:s1])
                 continue
             if (level == 0 and cur_blocks
                     and b - cur_blocks[0] >= NEIGHBORHOOD):
                 emit(np.concatenate(cur_rows), cur_blocks)
                 cur_rows, cur_blocks, cur_count = [], [], 0
-            br = urows_all[ublocks == b]
+            br = urows_all[u0:u1]
             if br.size > CAPL:
-                cnts_b = row_counts[np.searchsorted(urows_all, br)]
+                cnts_b = row_counts[u0:u1]
                 keep = br[np.argsort(-cnts_b, kind="stable")[:CAPL]]
                 for r in np.setdiff1d(br, keep):
                     i = int(np.searchsorted(urows_all, r))
