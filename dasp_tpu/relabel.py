@@ -70,7 +70,9 @@ def _sample_elements(csr: CSRMatrix, sample: int):
     decision sample; searchsorted over the sampled positions is O(sample
     * log n) instead)."""
     if csr.nnz > sample:
-        step = csr.nnz // sample
+        step = -(-csr.nnz // sample)     # ceil: keep the sample <= sample
+                                         # (floor gave step=1 — i.e. ALL
+                                         # elements — for nnz < 2*sample)
         idx = np.arange(0, csr.nnz, step, dtype=np.int64)
         rows = np.searchsorted(csr.row_ptr, idx, side="right") - 1
         return rows.astype(np.int64), csr.col_idx[idx].astype(np.int64)
@@ -102,10 +104,27 @@ def choose_relabel(csr: CSRMatrix, hub_min_deg: int = 4,
     subsample for large matrices (the decision needs one bit)."""
     if csr.nnz == 0:
         return None
-    perm = first_touch_perm(csr, hub_min_deg)
     rows, cols = _sample_elements(csr, sample)
     W = (csr.n_cols >> 10) + 1
     before = _distinct_pairs(rows >> 7, cols >> 10, W)
+    # Banded/FEM early-out: when the pre-relabel spread is already at the
+    # per-block element-count minimum, relabeling can only scramble (the
+    # auto gate would return None anyway) — skip building the permutation
+    # and the "after" measurement entirely.  ``before`` comes from the
+    # sample and can only UNDERCOUNT distinct pairs, so the gate can
+    # only mis-fire for spreads within ~5% of minimal, where the
+    # measured relabel gain is nil.  ``min_pairs`` uses the FULL
+    # per-block element counts (one reshape-sum over row_lengths).
+    n = csr.n_rows
+    Bn = -(-n // 128)
+    cnt = np.zeros(Bn * 128, dtype=np.int64)
+    cnt[:n] = csr.row_lengths
+    cnt = cnt.reshape(Bn, 128).sum(axis=1)
+    cnt = cnt[cnt > 0]
+    min_pairs = int(np.maximum(1, -(-cnt // 1024)).sum()) if cnt.size else 1
+    if before <= 1.05 * min_pairs:
+        return None
+    perm = first_touch_perm(csr, hub_min_deg)
     prows = perm[rows] if symmetric else rows
     after = _distinct_pairs(prows >> 7, perm[cols] >> 10, W)
     # First-touch degenerates to a degree sort when nearly every column
