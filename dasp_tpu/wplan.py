@@ -143,7 +143,9 @@ class WPlan:
     n_long: int
     # Output assembly (see pallas_backend.unperm kernel):
     out_src: np.ndarray       # (B, K) int32 y2 source rows (Z = zero row)
-    out_perm: np.ndarray      # (B*K, 128) int32 lane indices
+    out_perm: np.ndarray      # (B*K, 128) int8 lane indices (0..127; the
+                              # device copy upcasts — int8 quarters the
+                              # pack-time write traffic and the .npz size)
     n_y2_rows: int            # rows of y2 incl. long rows, excl. zero row
     overflow: Optional[CSRMatrix]
     census: Dict[str, int]
@@ -1574,7 +1576,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # dynamic slot packing as the old loop (primary, buckets in order,
     # rem levels, long scalars).
     out_src = np.full((B, K_SOURCES), Z, dtype=np.int32)
-    out_perm = np.zeros((B, K_SOURCES, LANES), dtype=np.int32)
+    out_perm = np.zeros((B, K_SOURCES, LANES), dtype=np.int8)
     kcur = np.zeros(B, dtype=np.int64)
 
     def _padmat(arr, fill=-1):
@@ -1935,7 +1937,7 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
         for b in range(src.shape[0]):
             for k in range(K_SOURCES):
                 new_src[b, k] = y2_map.get(int(src[b, k]), n_y2_new)
-        new_perm = np.zeros((B_max * K_SOURCES, LANES), dtype=np.int32)
+        new_perm = np.zeros((B_max * K_SOURCES, LANES), dtype=np.int8)
         new_perm[:p.out_perm.shape[0] // K_SOURCES * K_SOURCES] = 0
         # out_perm is stored (B*K, LANES) row-major by block
         B_old = p.out_src.shape[0]
