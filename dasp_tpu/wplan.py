@@ -478,7 +478,13 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         blk = np.arange(n) // LANES
         is_short = (~is_long) & (lens > 0) & (lens <= short_cut)
         sellable = (~is_long) & (lens > short_cut)
-        order = np.lexsort((-lens, ~sellable, blk))
+        # one fused-key radix argsort instead of a 3-key lexsort (3 stable
+        # passes over n rows; the fused key measured ~2x faster on
+        # multi-M-row inputs, cf. relabel._rowcol_order): descending
+        # length within (block, sellable-first) — lens < 2^32, blk < 2^30
+        order = np.argsort(((blk.astype(np.int64) * 2 + ~sellable) << 32)
+                           | (np.int64(0xFFFFFFFF) - lens),
+                           kind="stable")
         lane_sorted = np.arange(n) - LANES * blk[order]
         sel_sorted = sellable[order]
         block_lane_of_row[order[sel_sorted]] = lane_sorted[sel_sorted]
