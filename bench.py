@@ -14,7 +14,12 @@ INCREMENTALLY: the running summary is re-printed after every completed
 (matrix, dtype) arm, and a SIGTERM/SIGALRM/SIGINT handler prints the final
 summary before dying, so a timeout kill still leaves a complete record of
 everything measured so far (the last JSON line on stdout is always the most
-complete one).  Arms run cheapest-first.
+complete one).
+
+Arm ordering is DTYPE-MAJOR: every matrix at f32 (cheapest nnz first),
+then every matrix at bf16, then f64 — so a wall-budget kill costs the
+least-important tail (round 2 ran dtypes matrix-inner and lost all three
+livejournal arms to the same f64 arms it had already measured elsewhere).
 """
 
 from __future__ import annotations
@@ -93,7 +98,7 @@ def main() -> int:
     ap.add_argument("--csv-dir", default="data")
     ap.add_argument("--deadline", type=float,
                     default=float(os.environ.get("DASP_BENCH_DEADLINE",
-                                                 2400)),
+                                                 2100)),
                     help="self-imposed wall budget (s); the summary is "
                          "printed and the process exits 0 when it fires "
                          "(0 disables)")
@@ -159,36 +164,46 @@ def main() -> int:
     suite.sort(key=lambda t: t[1].nnz)
 
     SUMMARY.total = len(suite) * len(dtypes)
-    deferred_bcoo = []         # (name, csr, x) for post-summary risky runs
+    deferred_bcoo = []       # (name, dtype, bdt, csr, x): post-summary runs
 
-    def run_bcoo(name, csr, x, it):
+    # The BCOO competitor runs PER DTYPE (the reference runs cuSPARSE in
+    # both its binaries, main_f64.cu:65-86 / main_f16.cu:57-58): f32 and
+    # bf16 natively; the f64 arm's baseline computes in f32 — TPU has no
+    # f64 datapath, the analog of the reference's f16 binary running
+    # cuSPARSE at fp32 compute — so it REUSES the f32 measurement and the
+    # CSV's baseline_dtype column records the substitution.  A rough
+    # ratio needs few iterations: the baseline is ~300x slower, so its
+    # loops clear the overhead floor at iters=10.
+    bcoo_cache = {}          # (name, bdt) -> BenchResult | None
+
+    def run_bcoo(name, dtype, csr, x):
+        bdt = "f32" if dtype == "f64" else dtype
+        if (name, bdt) in bcoo_cache:
+            return bcoo_cache[(name, bdt)], bdt
         try:
-            base = BCOOBaseline(csr, "f32")
-            return bench_spmv(base, x, "f32", warmup=min(warmup, 10),
-                              iters=it)
+            base = BCOOBaseline(csr, bdt)
+            res = bench_spmv(base, x, bdt, iters=min(iters, 10), trials=2)
         except Exception as e:  # baseline may be unsupported
-            print(f"# BCOO baseline failed on {name}: {e}", file=sys.stderr)
-            return None
+            print(f"# BCOO baseline failed on {name} {bdt}: {e}",
+                  file=sys.stderr)
+            res = None
+        bcoo_cache[(name, bdt)] = res
+        return res, bdt
 
-    for name, csr in suite:
-        rng = np.random.default_rng(1)
-        x = rng.standard_normal(csr.n_cols)
-
-        base_res = None
-        if csr.nnz <= BCOO_RISK_NNZ:
-            base_res = run_bcoo(name, csr, x, min(iters, 100))
-        else:
-            deferred_bcoo.append((name, csr, x))
-
-        # The pack plan is dtype-independent: build it ONCE per matrix and
-        # share it across the dtype arms (the reference re-packs per dtype
-        # binary; dasp_pre below still records the full standalone cost).
+    def get_plan(name, csr):
+        # The pack plan is dtype-independent: build it ONCE per matrix
+        # and share it across the dtype arms (the reference re-packs per
+        # dtype binary; dasp_pre still records the full standalone cost).
         # Suite plans are additionally CACHED on disk: the suite matrices
-        # are deterministic (bench/suite.py) and a plan is a pure function
-        # of (matrix, config), while packing the 69M-nnz livejournal arm
-        # costs minutes of this box's one bursty vCPU.  dasp_pre reports
-        # the pack time MEASURED when the plan was built (stored in
-        # plan.stats) — the SpMV timing itself never touches the cache.
+        # are deterministic (bench/suite.py) and a plan is a pure
+        # function of (matrix, config), while packing the 69M-nnz
+        # livejournal arm costs minutes of this box's one bursty vCPU.
+        # dasp_pre reports the pack time MEASURED when the plan was built
+        # (stored in plan.stats) — the SpMV timing never touches the
+        # cache.  Within one driver run, plans stay in host memory across
+        # the dtype passes (the box has 125 GB).
+        if name in plan_mem:
+            return plan_mem[name]
         shared_plan, pre_shared = None, 0.0
         try:
             from dasp_tpu.ops.pallas_backend import SLAB_COLS
@@ -227,13 +242,34 @@ def main() -> int:
                                   file=sys.stderr)
         except Exception as e:
             print(f"# shared pack failed on {name}: {e}", file=sys.stderr)
+        plan_mem[name] = (shared_plan, pre_shared)
+        return shared_plan, pre_shared
 
-        for dtype in dtypes:
+    plan_mem = {}            # name -> (plan | None, pack_seconds)
+    xs = {}                  # name -> benchmark x vector
+    dasp_f32 = {}            # name -> dasp f32 GFLOP/s (deferred ratios)
+    for name, csr in suite:
+        xs[name] = np.random.default_rng(1).standard_normal(csr.n_cols)
+
+    for dtype in dtypes:
+        for name, csr in suite:
+            x = xs[name]
+            base_res, bdt = None, dtype
+            if csr.nnz <= BCOO_RISK_NNZ:
+                base_res, bdt = run_bcoo(name, dtype, csr, x)
+            else:
+                deferred_bcoo.append((name, dtype,
+                                      "f32" if dtype == "f64" else dtype,
+                                      csr, x))
+
+            shared_plan, pre_shared = get_plan(name, csr)
             op = SpMVOperator(shared_plan if shared_plan is not None
                               else csr, dtype=dtype, config=config)
             # dasp_pre keeps the reference's semantics (full pack + setup
             # for this matrix+dtype as if run standalone)
             op.preprocess_seconds += pre_shared
+            if op.plan is not None:
+                op.plan.stats.setdefault("pack_seconds", pre_shared)
             if args.profile:
                 import jax.profiler
                 with jax.profiler.trace(args.profile):
@@ -250,13 +286,14 @@ def main() -> int:
                 res = bench_spmv(op, x, dtype, warmup=warmup, iters=iters)
             SUMMARY.gflops.append(res.gflops)
             SUMMARY.done += 1
-            if dtype == "f32" and base_res is not None:
-                SUMMARY.ratios.append(res.gflops / base_res.gflops)
+            if dtype == "f32":
+                dasp_f32[name] = res.gflops
+                if base_res is not None:
+                    SUMMARY.ratios.append(res.gflops / base_res.gflops)
             if op.plan is not None:   # slabbed operators carry no one plan
                 append_record(f"{args.csv_dir}/spmv_{dtype}_record.csv",
                               record_from(op.plan, res, name, dtype,
-                                          base_res if dtype == "f32"
-                                          else None,
+                                          base_res, baseline_dtype=bdt,
                                           variant=("resident"
                                                    if getattr(op, "resident",
                                                               False)
@@ -264,24 +301,32 @@ def main() -> int:
             print(f"# {name} {dtype}: {res.gflops:.2f} GFLOP/s "
                   f"({res.seconds_per_iter*1e6:.1f} us/iter, "
                   f"bw {res.bandwidth2_gbs:.1f} GB/s model2)"
-                  + (f"  BCOO: {base_res.gflops:.2f}"
-                     if dtype == "f32" and base_res else ""),
+                  + (f"  BCOO {bdt}: {base_res.gflops:.2f}"
+                     if base_res else ""),
                   file=sys.stderr)
             SUMMARY.emit()
 
     # All dasp arms are recorded; now the risky outsized BCOO baselines
     # (a worker crash here can no longer lose any dasp measurement —
     # the complete summary is already the last JSON line).
-    for name, csr, x in deferred_bcoo:
-        base_res = run_bcoo(name, csr, x, min(iters, 20))
+    for name, dtype, bdt, csr, x in deferred_bcoo:
+        if (name, bdt) in bcoo_cache:
+            base_res = bcoo_cache[(name, bdt)]
+        else:
+            try:
+                base = BCOOBaseline(csr, bdt)
+                base_res = bench_spmv(base, x, bdt, iters=min(iters, 10),
+                                      trials=2)
+            except Exception as e:
+                print(f"# BCOO baseline failed on {name} {bdt}: {e}",
+                      file=sys.stderr)
+                base_res = None
+            bcoo_cache[(name, bdt)] = base_res
         if base_res is not None:
-            dasp_rows = [g for g, (n, _) in
-                         zip(SUMMARY.gflops[::len(dtypes)], suite)
-                         if n == name]
-            if dasp_rows:
-                SUMMARY.ratios.append(dasp_rows[0] / base_res.gflops)
-            print(f"# {name} BCOO (deferred): {base_res.gflops:.2f} "
-                  f"GFLOP/s", file=sys.stderr)
+            if dtype == "f32" and name in dasp_f32:
+                SUMMARY.ratios.append(dasp_f32[name] / base_res.gflops)
+            print(f"# {name} BCOO {bdt} (deferred): "
+                  f"{base_res.gflops:.2f} GFLOP/s", file=sys.stderr)
             SUMMARY.emit()
     return 0
 

@@ -36,6 +36,13 @@ class BenchResult:
     spread: float = 0.0
     # iteration count the adaptive loop actually timed with
     timed_iters: int = 0
+    # wall time of the first (compiling) timing-loop invocations — split
+    # from the host pack time so the CSV's dasp_pre can be decomposed into
+    # pack_seconds + compile_seconds (the reference's f16 preprocessing
+    # metric is host pack alone, dasp_f16.h:1021,1444-1446; compiles are
+    # a TPU-runtime cost with no CUDA analog and amortize via the
+    # persistent cache)
+    compile_seconds: float = 0.0
 
     def as_dict(self) -> Dict[str, float]:
         return dataclasses.asdict(self)
@@ -103,6 +110,12 @@ MAX_LOOP_ITERS = 200_000
 
 
 def time_loop_stats(op, x_dev, iters: int = ITERS, trials: int = 3):
+    """See _time_loop_stats; returns (seconds_per_iter, spread, n)."""
+    per, spread, n, _ = _time_loop_stats(op, x_dev, iters, trials)
+    return per, spread, n
+
+
+def _time_loop_stats(op, x_dev, iters: int = ITERS, trials: int = 3):
     """Seconds per SpMV using the operator's in-jit timing loop: N chained
     iterations run in ONE device call (the reference's 100-warmup/1000-iter
     protocol, dasp_f64.h:1285-1286, adapted to a runtime with per-call
@@ -128,8 +141,10 @@ def time_loop_stats(op, x_dev, iters: int = ITERS, trials: int = 3):
     n = max(iters, 1)
     loop1 = op.timing_loop(n)
     loop2 = op.timing_loop(2 * n)
+    tc0 = time.perf_counter()
     _sync(loop1(x_dev))         # compile + warm caches
     _sync(loop2(x_dev))
+    compile_s = time.perf_counter() - tc0
     for _ in range(3):          # probe, rescale while under the floor
         t0 = time.perf_counter()
         _sync(loop1(x_dev))
@@ -178,7 +193,7 @@ def time_loop_stats(op, x_dev, iters: int = ITERS, trials: int = 3):
     else:                       # noise swamped the difference: fall back
         per = max(best1 - call_overhead(), 1e-9) / (n + 1)
         spread = float("inf")
-    return per, spread, n
+    return per, spread, n, compile_s
 
 
 def time_loop(op, x_dev, iters: int = ITERS, trials: int = 3) -> float:
@@ -186,12 +201,12 @@ def time_loop(op, x_dev, iters: int = ITERS, trials: int = 3) -> float:
 
 
 def bench_spmv(op, x, dtype: str, warmup: int = WARMUP,
-               iters: int = ITERS) -> BenchResult:
+               iters: int = ITERS, trials: int = 3) -> BenchResult:
     """Benchmark an SpMVOperator (or any object with .timing_loop, ._prep_x,
     .n_rows/.n_cols/.nnz)."""
     del warmup  # the in-jit loop needs no separate warmup phase
     x_dev = op._prep_x(x)
-    sec, spread, n = time_loop_stats(op, x_dev, iters)
+    sec, spread, n, compile_s = _time_loop_stats(op, x_dev, iters, trials)
     d1, d2 = data_models(op.n_rows, op.n_cols, op.nnz, dtype)
     return BenchResult(
         seconds_per_iter=sec,
@@ -199,4 +214,4 @@ def bench_spmv(op, x, dtype: str, warmup: int = WARMUP,
         bandwidth1_gbs=d1 / sec / 1e9,
         bandwidth2_gbs=d2 / sec / 1e9,
         preprocess_seconds=getattr(op, "preprocess_seconds", 0.0),
-        spread=spread, timed_iters=n)
+        spread=spread, timed_iters=n, compile_seconds=compile_s)

@@ -85,11 +85,20 @@ def resident_bytes(meta, arrays) -> int:
     # x input stays in HBM (ANY space, DMA'd into scratch at t==0):
     # only the x_scr copy occupies VMEM
     n += meta.s_rows * LANES * 4 * pair       # x scratch
-    part_rows = sum(NV * (SUB // st) for _, st, NV in meta.streams)
+    # partials are SINGLE-BUFFERED: each stream's colsum is folded into
+    # y2 (and its long totals taken) before the next stream runs, so the
+    # scratch holds one stream at a time — max, not sum
+    part_rows = max(NV * (SUB // st) for _, st, NV in meta.streams)
     n += part_rows * LANES * 4 * pair         # partials scratch
     n += (meta.n_y2_rows + 1) * LANES * 4 * pair   # y2 scratch
     n += meta.B_pad * LANES * 4 * pair        # output
     res = arrays.get("resident")
+    if res and res.get("scr16"):
+        # dd lo halves of the y2 scratch and the output are stored bf16
+        # (lo <= 2^-24 |hi|, so bf16 storage bounds the error at
+        # ~2^-33 |v| — see the lo16 tier): subtract the saved halves
+        n -= (meta.n_y2_rows + 1) * LANES * 2
+        n -= meta.B_pad * LANES * 2
     if res:
         split = res.get("split", {})
         for si, a in res.get("bigs", {}).items():
@@ -310,6 +319,13 @@ def prepare(meta, arrays) -> None:
         import ml_dtypes
         res["lo16"] = [st["vals_lo"].astype(ml_dtypes.bfloat16)
                        for st in arrays["streams"]]
+    if resident_bytes(meta, arrays) > RESIDENT_BUDGET and meta.dtype == "f64":
+        # (d) dd lo SCRATCH compression: store the lo halves of the y2
+        #     scratch and the output buffer as bf16 (the same ~2^-33 |v|
+        #     bound as the lo16 value tier; the partials stay full f32 —
+        #     they live in the hot colsum store path).  This is what
+        #     closes the last ~4 MB on webbase-class dd plans.
+        res["scr16"] = True
     if resident_bytes(meta, arrays) > RESIDENT_BUDGET:
         arrays["resident"] = None
 
@@ -365,11 +381,20 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
     n_streams = len(meta.streams)
     R2 = meta.n_y2_rows + 1
     Z = meta.n_y2_rows
-    part_base, acc = [], 0
-    for (_, st, NV) in meta.streams:
-        part_base.append(acc)
-        acc += NV * (SUB // st)
-    PART_ROWS = acc
+    # Partials are SINGLE-BUFFERED: every stream's colsum output is
+    # consumed (sell folds + long totals) before the next stream's
+    # colsum overwrites the scratch, so it is sized for the LARGEST
+    # stream, not the sum — on webbase-class dd plans this halves the
+    # partials footprint (14.2 -> 7.0 MB) and is part of what brings
+    # them under the resident budget.
+    PART_ROWS = max(NV * (SUB // st) for (_, st, NV) in meta.streams)
+    # y2 destination offset of each sell segment, in sell_segs order
+    # (the folds now run grouped by stream, so the running-offset
+    # bookkeeping must be precomputed)
+    seg_y2_off, _acc = [], 0
+    for (_, _, n_slices, _, stride_seg) in meta.sell_segs:
+        seg_y2_off.append(_acc)
+        _acc += n_slices * (SUB // stride_seg)
     # long-referenced streams, in a fixed order
     long_streams = []
     tot_base, tacc = {}, 0
@@ -379,9 +404,12 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
         from . import dd
 
     def kernel_factory(res_keys, og_prog, split_keys=frozenset(),
-                       big_c0=None):
+                       big_c0=None, scr16=False):
         have_long = bool(meta.n_long)
         big_c0 = big_c0 or {}
+        # dd lo halves of y2 / output / assembly scratch may be stored
+        # bf16 (prepare's scr16 footprint tier); reads upcast to f32
+        lo_dt = jnp.bfloat16 if scr16 else jnp.float32
 
         def kernel(*refs):
             i = 0
@@ -442,17 +470,21 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                         cp.wait()
                     z1 = jnp.zeros((1, LANES), jnp.float32)
                     y2[0][pl.ds(Z, 1), :] = z1
-                    y2[1][pl.ds(Z, 1), :] = z1
+                    y2[1][pl.ds(Z, 1), :] = z1.astype(lo_dt)
                 else:
                     cp = pltpu.make_async_copy(x_in, x_scr, x_sem)
                     cp.start()
                     cp.wait()
                     y2[pl.ds(Z, 1), :] = jnp.zeros((1, LANES), jnp.float32)
 
-            # ---- colsum into partials scratch -------------------------
+            # ---- per-stream: colsum -> sell folds -> long totals ------
+            # The partials scratch is single-buffered (sized for the
+            # largest stream): each stream's partials are consumed by its
+            # own segment folds and long-total reductions before the next
+            # stream's colsum overwrites the buffer.
             for si, (P, stride, NV) in enumerate(meta.streams):
                 R = SUB // stride
-                base = part_base[si]
+                base = 0
                 w_ref, v_ref, i_ref = wins[si], vals[si], idx[si]
 
                 def cs_body(u, _, P=P, R=R, stride=stride, base=base,
@@ -531,81 +563,72 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
 
                 jax.lax.fori_loop(0, NV // RU, cs_body, 0)
 
-            # ---- sell-segment folds into y2 ---------------------------
-            seg_row = 0
-            for (stream, off, n_slices, w8, stride_seg) in meta.sell_segs:
-                R_st = SUB // meta.streams[stream][1]
-                R = SUB // stride_seg
-                F = R_st // R
-                base = part_base[stream] + off * R_st
-                rows_per = w8 * R_st
+                # -- this stream's sell-segment folds into y2 --
+                for seg_i, (stream, off, n_slices, w8, stride_seg) in \
+                        enumerate(meta.sell_segs):
+                    if stream != si:
+                        continue
+                    R_st = SUB // meta.streams[stream][1]
+                    R_seg = SUB // stride_seg
+                    F = R_st // R_seg
+                    seg_base = off * R_st
+                    rows_per = w8 * R_st
+                    seg_row = seg_y2_off[seg_i]
 
-                # i0 is in SLICE units everywhere (the fori passes
-                # i * SEG_CHUNK) — a chunk-index/slice-index mixup here
-                # produced overlapping folds that only surfaced on plans
-                # with segments longer than one chunk.
-                def fold(i0, count, seg_row=seg_row, base=base,
-                         rows_per=rows_per, w8=w8, R=R, F=F):
-                    sl_rows = pl.ds(base + i0 * rows_per, count * rows_per)
-                    dst = pl.ds(seg_row + i0 * R, count * R)
-                    if DD:
-                        vh = part[0][sl_rows, :]
-                        vl = part[1][sl_rows, :]
-                        if w8 == 1 and F == 1:
-                            fh, fl = vh, vl
-                        else:
-                            sh = vh.reshape(count, w8, R, F, LANES)
-                            sl_ = vl.reshape(count, w8, R, F, LANES)
-                            if F > 1:
-                                sh, sl_ = dd.sum_axis(sh, sl_, 3)
+                    # i0 is in SLICE units everywhere (the fori passes
+                    # i * SEG_CHUNK) — a chunk-index/slice-index mixup
+                    # here produced overlapping folds that only surfaced
+                    # on plans with segments longer than one chunk.
+                    def fold(i0, count, seg_row=seg_row, base=seg_base,
+                             rows_per=rows_per, w8=w8, R=R_seg, F=F):
+                        sl_rows = pl.ds(base + i0 * rows_per,
+                                        count * rows_per)
+                        dst = pl.ds(seg_row + i0 * R, count * R)
+                        if DD:
+                            vh = part[0][sl_rows, :]
+                            vl = part[1][sl_rows, :]
+                            if w8 == 1 and F == 1:
+                                fh, fl = vh, vl
                             else:
-                                sh = sh.reshape(count, w8, R, LANES)
-                                sl_ = sl_.reshape(count, w8, R, LANES)
-                            sh, sl_ = dd.sum_axis(sh, sl_, 1)
-                            fh = sh.reshape(count * R, LANES)
-                            fl = sl_.reshape(count * R, LANES)
-                        y2[0][dst, :] = fh
-                        y2[1][dst, :] = fl
-                        return
-                    v = part[sl_rows, :]
-                    if w8 == 1 and F == 1:
-                        f = v
-                    else:
-                        f = v.reshape(count, w8, R, F, LANES).sum((1, 3)) \
-                             .reshape(count * R, LANES)
-                    y2[dst, :] = f
+                                sh = vh.reshape(count, w8, R, F, LANES)
+                                sl_ = vl.reshape(count, w8, R, F, LANES)
+                                if F > 1:
+                                    sh, sl_ = dd.sum_axis(sh, sl_, 3)
+                                else:
+                                    sh = sh.reshape(count, w8, R, LANES)
+                                    sl_ = sl_.reshape(count, w8, R, LANES)
+                                sh, sl_ = dd.sum_axis(sh, sl_, 1)
+                                fh = sh.reshape(count * R, LANES)
+                                fl = sl_.reshape(count * R, LANES)
+                            y2[0][dst, :] = fh
+                            y2[1][dst, :] = fl.astype(lo_dt)
+                            return
+                        v = part[sl_rows, :]
+                        if w8 == 1 and F == 1:
+                            f = v
+                        else:
+                            f = v.reshape(count, w8, R, F, LANES) \
+                                 .sum((1, 3)).reshape(count * R, LANES)
+                        y2[dst, :] = f
 
-                nfull = n_slices // SEG_CHUNK
-                tail = n_slices % SEG_CHUNK
-                if nfull:
-                    jax.lax.fori_loop(
-                        0, nfull,
-                        lambda i, _, fold=fold: (
-                            fold(i * SEG_CHUNK, SEG_CHUNK), 0)[1],
-                        0)
-                if tail:
-                    fold(nfull * SEG_CHUNK, tail)
-                seg_row += n_slices * R
+                    nfull = n_slices // SEG_CHUNK
+                    tail = n_slices % SEG_CHUNK
+                    if nfull:
+                        jax.lax.fori_loop(
+                            0, nfull,
+                            lambda i, _, fold=fold: (
+                                fold(i * SEG_CHUNK, SEG_CHUNK), 0)[1],
+                            0)
+                    if tail:
+                        fold(nfull * SEG_CHUNK, tail)
 
-            # ---- long rows --------------------------------------------
-            # Per-vreg totals are kept LANE-WIDE throughout (Mosaic's
-            # layout inference rejects rank-1 / 1-lane intermediates):
-            # totals rows hold per-lane partial sums; the lane fold is an
-            # all-ones MXU matmul fused into the scalar composition.
-            if have_long:
-                def mm(a, b):
-                    return jnp.dot(a, b,
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
-
-                for si in long_streams:
-                    P, stride, NV = meta.streams[si]
+                # -- this stream's long-row per-vreg totals --
+                if have_long and si in long_streams:
                     R_st = SUB // stride
-                    base = part_base[si]
                     tb = tot_base[si]
 
-                    def tl_body(u, _, base=base, R_st=R_st, tb=tb):
-                        rows = pl.ds(base + u * RU * R_st, RU * R_st)
+                    def tl_body(u, _, R_st=R_st, tb=tb):
+                        rows = pl.ds(u * RU * R_st, RU * R_st)
                         dst = pl.ds(tb + u * RU, RU)
                         if DD:
                             th, tl = dd.sum_axis(
@@ -621,6 +644,18 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                         return 0
 
                     jax.lax.fori_loop(0, NV // RU, tl_body, 0)
+
+            # ---- long rows: scalar composition ------------------------
+            # Per-vreg totals are kept LANE-WIDE throughout (Mosaic's
+            # layout inference rejects rank-1 / 1-lane intermediates):
+            # totals rows hold per-lane partial sums; the lane fold is an
+            # all-ones MXU matmul fused into the scalar composition.
+            if have_long:
+                def mm(a, b):
+                    return jnp.dot(a, b,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
                 if DD:
                     # hi/lo pass separately through the 0/1 incidence
                     # matmul (fan-in gated in ``prepare``); streams
@@ -660,7 +695,8 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                     dst = pl.ds(Z - meta.n_long_rows, meta.n_long_rows)
                     lsel = lanesel_ref[...]
                     y2[0][dst, :] = mm(rowsel_ref[...], s_h * lsel)
-                    y2[1][dst, :] = mm(rowsel_ref[...], s_l * lsel)
+                    y2[1][dst, :] = mm(rowsel_ref[...],
+                                       s_l * lsel).astype(lo_dt)
                 else:
                     s_row = None
                     for si in long_streams:
@@ -709,7 +745,8 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                             gh = jnp.take_along_axis(scr[0][0:RU, :], pr,
                                                      axis=1)
                             gl = jnp.take_along_axis(scr[1][0:RU, :], pr,
-                                                     axis=1)
+                                                     axis=1).astype(
+                                                         jnp.float32)
                             acc2 = ((gh, gl) if acc2 is None
                                     else dd.add(acc2[0], acc2[1], gh, gl))
                         else:
@@ -722,7 +759,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                         zz = jnp.zeros((RU, LANES), jnp.float32)
                         ah, al = acc2 if acc2 is not None else (zz, zz)
                         out_ref[0][rows, :] = ah
-                        out_ref[1][rows, :] = al
+                        out_ref[1][rows, :] = al.astype(lo_dt)
                     else:
                         if acc2 is None:
                             acc2 = jnp.zeros((RU, LANES), jnp.float32)
@@ -746,7 +783,8 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                             gh = jnp.take_along_axis(scr[0][0:RU, :], pr,
                                                      axis=1)
                             gl = jnp.take_along_axis(scr[1][0:RU, :], pr,
-                                                     axis=1)
+                                                     axis=1).astype(
+                                                         jnp.float32)
                             acc2 = ((gh, gl) if acc2 is None
                                     else dd.add(acc2[0], acc2[1], gh, gl))
                         else:
@@ -755,7 +793,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                             acc2 = g if acc2 is None else acc2 + g
                     if DD:
                         out_ref[0][rows, :] = acc2[0]
-                        out_ref[1][rows, :] = acc2[1]
+                        out_ref[1][rows, :] = acc2[1].astype(lo_dt)
                     else:
                         out_ref[rows, :] = acc2
                     return 0
@@ -840,27 +878,34 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
             operands.append(res["lanesel"])
 
         rep = 2 if DD else 1
+        scr16 = bool(res.get("scr16"))
+        lo_dt = jnp.bfloat16 if scr16 else jnp.float32
         scratch = []
         scratch += [pltpu.VMEM((S, LANES), jnp.float32)] * rep  # x_scr
         scratch += [pltpu.VMEM((PART_ROWS, LANES),
                                jnp.float32)] * rep              # partials
-        scratch += [pltpu.VMEM((R2, LANES), jnp.float32)] * rep  # y2
+        scratch.append(pltpu.VMEM((R2, LANES), jnp.float32))    # y2 hi
+        if DD:
+            scratch.append(pltpu.VMEM((R2, LANES), lo_dt))      # y2 lo
         if meta.n_long:
             scratch += [pltpu.VMEM((max(tacc, 8), LANES),
                                    jnp.float32)] * rep
-        scratch += [pltpu.VMEM((RU, LANES), jnp.float32)] * rep
+        scratch.append(pltpu.VMEM((RU, LANES), jnp.float32))    # og scr hi
+        if DD:
+            scratch.append(pltpu.VMEM((RU, LANES), lo_dt))      # og scr lo
         scratch.append(pltpu.SemaphoreType.DMA)      # x HBM->VMEM copy
 
         ospec = pl.BlockSpec((meta.B_pad, LANES), lambda t: (0, 0),
                              memory_space=pltpu.VMEM)
         oshape = jax.ShapeDtypeStruct((meta.B_pad, LANES), jnp.float32)
+        oshape_lo = jax.ShapeDtypeStruct((meta.B_pad, LANES), lo_dt)
         call = pl.pallas_call(
             kernel_factory(res_keys, og_prog, frozenset(split),
-                           big_c0_static),
+                           big_c0_static, scr16),
             grid=(iters,),
             in_specs=in_specs,
             out_specs=(ospec, ospec) if DD else ospec,
-            out_shape=(oshape, oshape) if DD else oshape,
+            out_shape=(oshape, oshape_lo) if DD else oshape,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),
@@ -884,7 +929,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
         if DD:
             from . import dd
             yh = out[0].reshape(-1)[:meta.n_rows]
-            yl = out[1].reshape(-1)[:meta.n_rows]
+            yl = out[1].reshape(-1)[:meta.n_rows].astype(jnp.float32)
             if arrays["overflow"] is not None:
                 # mirror of the streamed dd overflow correction
                 # (pallas_backend._spmv_dd): per-row compensated tree

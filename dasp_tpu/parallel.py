@@ -6,12 +6,20 @@ balanced by nnz, each chip owns its slab's packed plan, x is sharded by rows
 and replicated on-chip via ``jax.lax.all_gather`` over the ICI mesh axis, and
 y needs no communication at all (a row partition makes outputs disjoint).
 
-Because ``shard_map`` traces one program for all chips, every chip's lowered
-plan must share one shape signature.  ``_harmonize`` zero-pads all per-chip
-arrays to the elementwise-max shapes (padded value tiles are zero => they
-contribute nothing; padded position entries are INT32_MAX => scatter drops
-them), then stacks them on a leading mesh axis.  The scatter executor
-(``spmv_scatter_fn``) is used because concat-offsets would differ per chip.
+One class, two interchangeable per-chip executors (``backend=``):
+
+* ``"pallas"`` (default): the windowed wplan kernels.  Per-chip plans are
+  rewritten to one canonical shape signature (``wplan.harmonize_wplans``)
+  so ``shard_map`` traces a single program over the stacked plan arrays.
+* ``"xla"``: the portable scatter executor on the legacy tile plan — the
+  tested fallback for platforms where Pallas is unavailable.  Its
+  harmonizer (``_harmonize``) pads per-chip lowered arrays to
+  elementwise-max shapes (padded value tiles are zero => contribute
+  nothing; padded position entries are INT32_MAX => scatter drops them).
+
+Slab partitioning, global column relabel, x preparation and y stitching are
+shared between the backends (round-2 review: the two classes duplicated
+them).  ``WMultiChipSpMV`` remains as a back-compat alias.
 """
 
 from __future__ import annotations
@@ -209,36 +217,46 @@ def _harmonize(metas: List[PlanMeta], ts: List[dict]) -> Tuple[PlanMeta, dict]:
     return meta, stacked
 
 
-class WMultiChipSpMV:
-    """Row-partitioned SpMV over a 1-D mesh on the windowed Pallas backend.
+class MultiChipSpMV:
+    """Row-partitioned SpMV over a 1-D mesh: y_slab = A_slab @ allgather(x).
 
-    Each chip owns the packed plan of a contiguous slab of 128-row blocks;
-    x is sharded by rows and replicated on-chip with ``jax.lax.all_gather``
-    over the ICI mesh axis (the only communication — a row partition makes
-    y outputs disjoint, SURVEY.md §5).  Per-chip plans are rewritten to one
-    canonical shape signature (``wplan.harmonize_wplans``) so shard_map
-    traces a single program over the stacked plan arrays.
+    Args:
+      csr: the full matrix.
+      devices: list of jax devices (defaults to all).
+      dtype: "f32" / "bf16" / "f64".
+      config: packing tunables (relabel is applied GLOBALLY before
+        partitioning: x is replicated via all_gather, so all chips must
+        share one column space).
+      backend: "pallas" (windowed wplan kernels, default) or "xla"
+        (portable scatter executor — the non-Pallas fallback).
+
+    Instrumentation (round-3 review asks): ``stats`` records per-slab nnz
+    balance (``slab_nnz``, ``balance`` = max/mean) and, for the pallas
+    backend, harmonization padding overhead (``pad_vregs`` padded vs
+    ``real_vregs`` real value-tile vregs per chip).
     """
 
     def __init__(self, csr: CSRMatrix, devices=None, dtype: str = "f32",
-                 config: DaspConfig = DEFAULT_CONFIG):
-        from .wplan import build_wplan, harmonize_wplans, LANES
-        from .ops import pallas_backend as pb
-
+                 config: DaspConfig = DEFAULT_CONFIG,
+                 backend: str = "pallas"):
+        if backend not in ("pallas", "xla"):
+            raise ValueError("backend must be 'pallas' or 'xla'")
         devices = devices if devices is not None else jax.devices()
         self.n_devices = len(devices)
         self.mesh = Mesh(np.array(devices), ("x",))
         self.dtype = dtype
+        self.backend = backend
         self.n_rows, self.n_cols = csr.n_rows, csr.n_cols
+        self.stats = {}
 
         # Column relabel must be GLOBAL here (x is replicated via
         # all_gather; per-chip perms would need per-chip copies of x), so
         # apply it once before partitioning and pack each slab with
         # relabel off.
+        import dataclasses as _dc
         self.col_perm = None
         self.row_perm = None
         if config.relabel != "off" and csr.nnz:
-            import dataclasses as _dc
             from .relabel import (apply_col_perm, apply_sym_perm,
                                   choose_relabel, first_touch_perm)
             sym = csr.n_rows == csr.n_cols
@@ -257,10 +275,12 @@ class WMultiChipSpMV:
             config = _dc.replace(config, relabel="off")
         # slab y's are stitched back by row range, so per-slab plans must
         # keep slab-local row order (no independent length-grouping)
-        import dataclasses as _dc3
-        config = _dc3.replace(config, row_sort="off")
+        config = _dc.replace(config, row_sort="off")
 
-        # contiguous slabs of whole 128-row blocks, nnz-balanced
+        # contiguous slabs of whole 128-row blocks, nnz-balanced (block
+        # alignment keeps the pallas outgather blocks slab-local; it is
+        # harmless for the scatter executor)
+        from .wplan import LANES
         raw = partition_rows(csr, self.n_devices)
         bounds = [0]
         for s, e in raw[:-1]:
@@ -271,21 +291,67 @@ class WMultiChipSpMV:
             bounds.append(csr.n_rows)
         self.slabs = [(bounds[i], bounds[i + 1])
                       for i in range(self.n_devices)]
+        slab_nnz = [int(csr.row_ptr[e] - csr.row_ptr[s])
+                    for s, e in self.slabs]
+        self.stats["slab_nnz"] = slab_nnz
+        self.stats["balance"] = (max(slab_nnz)
+                                 / max(sum(slab_nnz) / len(slab_nnz), 1.0))
+
+        if backend == "xla":
+            self._build_xla(csr, config)
+        else:
+            self._build_pallas(csr, config)
+
+    # ---- per-chip lowering: portable scatter executor ----------------
+    def _build_xla(self, csr: CSRMatrix, config: DaspConfig) -> None:
+        metas, ts = [], []
+        for start, end in self.slabs:
+            plan = build_plan(slab_csr(csr, start, end), config)
+            m, t = plan_to_scatter_arrays(plan, self.dtype)
+            metas.append(m)
+            ts.append(t)
+        self.overflows = [None] * self.n_devices
+        self.meta, stacked = _harmonize(metas, ts)
+        self._x_total = -(-self.n_cols // self.n_devices) * self.n_devices
+
+        meta = self.meta
+
+        def step(arrays, x_sharded):
+            # x arrives row-sharded; replicate it on-chip over ICI — the
+            # only communication in the whole SpMV.
+            x_full = jax.tree.map(
+                lambda a: jax.lax.all_gather(a, "x", tiled=True), x_sharded)
+            local = jax.tree.map(lambda a: a[0], arrays)
+            y = spmv_scatter_fn(meta, local, x_full)
+            if meta.dtype == F64:
+                return jnp.stack([y["hi"], y["lo"]])[None]
+            return y[None]
+
+        self._finish(step, stacked)
+
+    # ---- per-chip lowering: windowed Pallas kernels ------------------
+    def _build_pallas(self, csr: CSRMatrix, config: DaspConfig) -> None:
+        from .wplan import (K_SOURCES, LANES, build_wplan, harmonize_wplans)
+        from .ops import pallas_backend as pb
 
         plans = [build_wplan(slab_csr(csr, s, e), config)
                  for s, e in self.slabs]
         self.overflows = [p.overflow for p in plans]
+        real_vregs = [sum(s.n_vregs for s in p.streams) for p in plans]
         plans = harmonize_wplans(plans)
+        pad_vregs = [sum(s.n_vregs for s in p.streams) - r
+                     for p, r in zip(plans, real_vregs)]
+        self.stats["real_vregs"] = real_vregs
+        self.stats["pad_vregs"] = pad_vregs
         # one shared outgather-slot trim across chips (stacking needs
         # identical metas)
-        from .wplan import K_SOURCES
         k_shared = 1
         for p in plans:
             used = p.out_src < p.n_y2_rows
             if used.any():
                 k_shared = max(k_shared, int(
                     (used * (np.arange(K_SOURCES) + 1)).max()))
-        lowered = [pb.plan_to_arrays(p, dtype, include_overflow=False,
+        lowered = [pb.plan_to_arrays(p, self.dtype, include_overflow=False,
                                      k_sources=k_shared)
                    for p in plans]
         # The long gather-sum multiplicity (how many round-class streams one
@@ -305,9 +371,9 @@ class WMultiChipSpMV:
         self.meta = metas[0]
         stacked = jax.tree.map(lambda *xs: np.stack(xs),
                                *[a for _, a in lowered])
+        self._x_total = self.meta.s_rows * LANES
 
         meta = self.meta
-        mesh = self.mesh
 
         def step(arrays, x_shard):
             x_full = jax.tree.map(
@@ -323,25 +389,29 @@ class WMultiChipSpMV:
                 return jnp.stack([y["hi"], y["lo"]])[None]
             return y[None]
 
-        self._step = jax.jit(jax.shard_map(
-            step, mesh=mesh, in_specs=(P("x"), P("x")), out_specs=P("x"),
-            check_vma=False))
-        self._arrays = jax.device_put(stacked, NamedSharding(mesh, P("x")))
-        self._x_sharding = NamedSharding(mesh, P("x"))
-        self._pb = pb
+        self._finish(step, stacked)
 
+    def _finish(self, step, stacked) -> None:
+        self._step = jax.jit(jax.shard_map(
+            step, mesh=self.mesh, in_specs=(P("x"), P("x")),
+            out_specs=P("x"), check_vma=False))
+        self._x_sharding = NamedSharding(self.mesh, P("x"))
+        self._arrays = jax.device_put(stacked, self._x_sharding)
+
+    # ---- shared x preparation and y stitching ------------------------
     def _prep_x(self, x):
-        from .wplan import LANES
-        total = self.meta.s_rows * LANES
-        xp = np.zeros(total, dtype=np.float64)
+        xp = np.zeros(self._x_total, dtype=np.float64)
         if self.col_perm is not None:
             xp[self.col_perm] = np.asarray(x)[:self.n_cols]
         else:
             xp[:self.n_cols] = np.asarray(x)[:self.n_cols]
-        if self.dtype == "f64":
+        if self.dtype == F64:
             hi, lo = dd.from_f64(xp)
             return jax.device_put(dict(hi=hi, lo=lo), self._x_sharding)
-        return jax.device_put(xp.astype(np.float32), self._x_sharding)
+        want = (ml_dtypes.bfloat16 if (self.dtype == "bf16"
+                                       and self.backend == "xla")
+                else np.float32)
+        return jax.device_put(xp.astype(want), self._x_sharding)
 
     def __call__(self, x) -> np.ndarray:
         y = np.asarray(jax.device_get(
@@ -354,7 +424,7 @@ class WMultiChipSpMV:
             xr[self.col_perm] = x_rel[:self.n_cols]
             x_rel = xr
         for d, (start, end) in enumerate(self.slabs):
-            part = y[d, 0] + y[d, 1] if self.dtype == "f64" else y[d]
+            part = y[d, 0] + y[d, 1] if self.dtype == F64 else y[d]
             out[start:end] = part[:end - start]
             ovf = self.overflows[d]
             if ovf is not None:
@@ -363,72 +433,28 @@ class WMultiChipSpMV:
             out = out[self.row_perm]
         return out
 
+    def timing_loop(self, iters: int):
+        """Jitted chained-iteration loop (bench --multichip): the same
+        differenced-loop contract as the single-chip operators."""
+        step = self._step
 
-class MultiChipSpMV:
-    """Row-partitioned SpMV over a 1-D mesh: y_shard = A_slab @ allgather(x).
+        loop = getattr(self, "_loop_jit", None)
+        if loop is None:
+            @jax.jit
+            def loop(arrays, x, it):
+                def body(_, x):
+                    y = step(arrays, x)
+                    lead = jax.tree.leaves(y)[0]
+                    bump = (lead.ravel()[0].astype(jnp.float32)
+                            * jnp.float32(1e-36))
+                    return jax.tree.map(
+                        lambda a: a + bump.astype(a.dtype), x)
+                x = jax.lax.fori_loop(0, it, body, x)
+                return step(arrays, x)
+            self._loop_jit = loop
+        it = jnp.int32(iters)
+        return lambda x_dev: loop(self._arrays, x_dev, it)
 
-    Args:
-      csr: the full matrix.
-      devices: list of jax devices (defaults to all).
-      dtype: "f32" / "bf16" / "f64".
-    """
 
-    def __init__(self, csr: CSRMatrix, devices=None, dtype: str = "f32",
-                 config: DaspConfig = DEFAULT_CONFIG):
-        devices = devices if devices is not None else jax.devices()
-        self.n_devices = len(devices)
-        self.mesh = Mesh(np.array(devices), ("x",))
-        self.dtype = dtype
-        self.n_rows, self.n_cols = csr.n_rows, csr.n_cols
-        self.slabs = partition_rows(csr, self.n_devices)
-
-        metas, ts = [], []
-        for start, end in self.slabs:
-            plan = build_plan(slab_csr(csr, start, end), config)
-            m, t = plan_to_scatter_arrays(plan, dtype)
-            metas.append(m)
-            ts.append(t)
-        self.meta, stacked = _harmonize(metas, ts)
-        self.rows_max = stacked["inv_perm"].shape[1]
-
-        # x padded/sharded by rows of x (i.e. columns of A).
-        self.x_pad = -(-self.n_cols // self.n_devices) * self.n_devices
-
-        mesh = self.mesh
-        meta = self.meta
-
-        def step(arrays, x_sharded):
-            # x arrives row-sharded; replicate it on-chip over ICI — the
-            # only communication in the whole SpMV.
-            x_full = jax.tree.map(
-                lambda a: jax.lax.all_gather(a, "x", tiled=True), x_sharded)
-            local = jax.tree.map(lambda a: a[0], arrays)
-            y = spmv_scatter_fn(meta, local, x_full)
-            if meta.dtype == F64:
-                return jnp.stack([y["hi"], y["lo"]])[None]
-            return y[None]
-
-        self._step = jax.jit(jax.shard_map(
-            step, mesh=mesh, in_specs=(P("x"), P("x")), out_specs=P("x"),
-            check_vma=False))
-        self._arrays = jax.device_put(stacked, NamedSharding(mesh, P("x")))
-        self._x_sharding = NamedSharding(mesh, P("x"))
-
-    def _prep_x(self, x):
-        xp = np.zeros(self.x_pad, dtype=np.float64)
-        xp[:self.n_cols] = np.asarray(x)
-        if self.dtype == F64:
-            hi, lo = dd.from_f64(xp)
-            return jax.device_put(dict(hi=hi, lo=lo), self._x_sharding)
-        want = ml_dtypes.bfloat16 if self.dtype == "bf16" else np.float32
-        return jax.device_put(xp.astype(want), self._x_sharding)
-
-    def __call__(self, x) -> np.ndarray:
-        y = np.asarray(jax.device_get(self._step(self._arrays,
-                                                 self._prep_x(x))),
-                       dtype=np.float64)
-        out = np.zeros(self.n_rows, dtype=np.float64)
-        for d, (start, end) in enumerate(self.slabs):
-            part = y[d, 0] + y[d, 1] if self.dtype == F64 else y[d]
-            out[start:end] = part[:end - start]
-        return out
+# Back-compat alias: the windowed pallas backend is the default.
+WMultiChipSpMV = MultiChipSpMV

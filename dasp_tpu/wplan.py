@@ -1601,6 +1601,15 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             raise AssertionError(
                 f"block {b} needs {int(kcur[b]) + 1} outgather sources "
                 f"(budget {K_SOURCES})")
+        # out_perm is int8 and ``perm`` arrives int32 (np.where results):
+        # fancy-indexed assignment downcasts SILENTLY, so range-check
+        # first — a future sentinel (e.g. _padmat's -1 leaking through)
+        # or a value >= 128 would otherwise wrap instead of failing.
+        perm = np.asarray(perm)
+        if perm.size and (int(perm.min()) < 0 or int(perm.max()) >= LANES):
+            raise AssertionError(
+                f"outgather lane perm out of int8 range "
+                f"[{int(perm.min())}, {int(perm.max())}]")
         out_src[idx, kc] = src
         out_perm[idx, kc] = perm
         kcur[idx] += 1

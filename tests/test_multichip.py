@@ -30,9 +30,10 @@ def test_slab_extraction(rng):
 
 @pytest.mark.parametrize("dtype", ["f32", "f64"])
 def test_multichip_matches_golden(rng, dtype):
+    """The portable scatter-executor fallback (backend="xla")."""
     assert len(jax.devices()) == 8, "conftest must provide 8 host devices"
     csr = mixed_categories(900, rng)
-    op = MultiChipSpMV(csr, dtype=dtype)
+    op = MultiChipSpMV(csr, dtype=dtype, backend="xla")
     assert op.n_devices == 8
     x = rng.standard_normal(csr.n_cols)
     y = op(x)
@@ -47,7 +48,7 @@ def test_multichip_matches_golden(rng, dtype):
 
 def test_multichip_powerlaw(rng):
     csr = powerlaw_like(800, 1.8, 4000, rng)
-    op = MultiChipSpMV(csr, dtype="f32")
+    op = MultiChipSpMV(csr, dtype="f32", backend="xla")
     x = rng.standard_normal(csr.n_cols)
     golden = csr.spmv(x)
     scale = np.maximum(np.abs(golden), 1.0)
@@ -80,6 +81,53 @@ def test_windowed_multichip_powerlaw(rng):
     scale = np.maximum(np.abs(golden), 1.0)
     np.testing.assert_allclose(op(x) / scale, golden / scale,
                                rtol=2e-5, atol=2e-5)
+
+
+def test_multichip_scale_balance_and_padding(rng):
+    """At 100k+ rows with a power-law tail: per-slab nnz stays within
+    1.5x of the mean, and the harmonization padding overhead (padded vs
+    real value-tile vregs per chip) is recorded and bounded (round-3
+    review ask: harmonize_wplans pads every chip to elementwise-max
+    shapes; this measures what that costs)."""
+    from dasp_tpu.parallel import WMultiChipSpMV
+    csr = powerlaw_like(120_000, 1.8, 600_000, rng, col_alpha=1.6)
+    op = WMultiChipSpMV(csr, dtype="f32")
+    nnzs = op.stats["slab_nnz"]
+    assert sum(nnzs) + sum(o.nnz if o is not None else 0
+                           for o in op.overflows) >= csr.nnz * 0.99
+    assert op.stats["balance"] <= 1.5, op.stats
+    real = sum(op.stats["real_vregs"])
+    pad = sum(op.stats["pad_vregs"])
+    # Measured baseline on this input: ~2.2x (per-chip packers quantize
+    # stream classes/widths independently, so the harmonized union pads
+    # heavily on skewed slabs).  The bound catches blowups beyond the
+    # known cost; reducing it needs globally pinned class quantization
+    # (docs/DESIGN.md §7 agenda).
+    assert pad <= 2.5 * real, (pad, real)
+    x = rng.standard_normal(csr.n_cols)
+    golden = csr.spmv(x)
+    # Condition-aware scale: the 100k-nnz hub row's dot product cancels
+    # to ~1e-1 from ~1e5 of absolute mass, so ANY f32 accumulation
+    # carries ~eps*sum|a_i x_i| of error — normalize by that mass
+    # (standard backward-error metric), not by |y|.
+    csr_abs = csr.values.copy()
+    import dasp_tpu.sparse as sp
+    mass = sp.CSRMatrix(csr.n_rows, csr.n_cols, csr.row_ptr,
+                        csr.col_idx, np.abs(csr_abs)).spmv(np.abs(x))
+    scale = np.maximum(mass, 1.0)
+    np.testing.assert_allclose(op(x) / scale, golden / scale,
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_multichip_timing_loop(rng):
+    """The bench --multichip chained-iteration loop compiles and matches
+    a plain call on the CPU mesh."""
+    csr = mixed_categories(900, rng)
+    op = MultiChipSpMV(csr, dtype="f32")
+    x_dev = op._prep_x(rng.standard_normal(csr.n_cols))
+    loop = op.timing_loop(3)
+    y = np.asarray(jax.tree.leaves(loop(x_dev))[0])
+    assert np.isfinite(y).all()
 
 
 def test_windowed_multichip_relabel(rng):

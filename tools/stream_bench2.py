@@ -1,6 +1,7 @@
 """Find the colsum bandwidth cliff: add production features one at a
-time to the 713 GB/s synthetic (tools/stream_bench.py) and see which one
-drops it to the observed ~330 GB/s.
+time to a 713 GB/s bare-copy synthetic (the retired round-1 probe
+tools/stream_bench.py, conclusions in docs/DESIGN.md §2) and see which
+one drops it to the observed ~330 GB/s.
 
 Variants (all BV=128, UNROLL=32, NV=4096):
   A baseline      static window, small x
