@@ -41,7 +41,8 @@ BCOO_RISK_NNZ = 19_000_000
 
 # bump when the WPlan on-disk format or packer semantics change (stale
 # cached plans also fail load_wplan and rebuild transparently)
-PLAN_CACHE_VER = 1
+# v2: W8_CLASSES intermediate widths + cost-argmin width selection
+PLAN_CACHE_VER = 2
 
 
 class _Summary:

@@ -505,6 +505,9 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                             return jnp.take_along_axis(g, lam, axis=1)
 
                         if DD:
+                            from .pallas_backend import DD_XLO_DROP_P
+                            drop_lo = (DD_XLO_DROP_P
+                                       and P >= DD_XLO_DROP_P)
                             vh = v_ref[0][pl.ds(v * SUB, SUB), :]
                             # lo may be stored bf16 (footprint compression,
                             # see prepare); upcast is a no-op for f32
@@ -512,18 +515,24 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                                 jnp.float32)
                             if P == 1:
                                 gh = gat(x_scr[0], 0)
-                                gl = gat(x_scr[1], 0)
+                                gl = (jnp.zeros_like(gh) if drop_lo
+                                      else gat(x_scr[1], 0))
                             else:
                                 rnd = jax.lax.shift_right_logical(ix, 10)
                                 gh = gl = None
                                 for p in range(P):
                                     ph_ = gat(x_scr[0], p)
-                                    pl_ = gat(x_scr[1], p)
+                                    pl_ = (None if drop_lo
+                                           else gat(x_scr[1], p))
                                     if gh is None:
                                         gh, gl = ph_, pl_
                                     else:
                                         gh = jnp.where(rnd == p, ph_, gh)
-                                        gl = jnp.where(rnd == p, pl_, gl)
+                                        if not drop_lo:
+                                            gl = jnp.where(rnd == p,
+                                                           pl_, gl)
+                                if drop_lo:
+                                    gl = jnp.zeros_like(gh)
                             ph_, pl_ = dd.mul(vh, vl, gh, gl)
                             for L in range(R):
                                 sh, sl = dd.sum_axis(

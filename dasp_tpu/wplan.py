@@ -66,7 +66,15 @@ SUB = 8
 VREG = 1024
 LONG_PACK = 127          # long scalars per y2 row (lane 127 stays zero)
 
-W8_CLASSES = (1, 2, 4, 8, 16, 32)
+# SELL slice widths in vregs.  Power-of-two classes match the reference's
+# K=4-step width growth (dasp_f64.h:1052-1083); the intermediate classes
+# (3, 6, 12, 24) exist because mesh/FEM blocks with ~width*1.05 row
+# lengths otherwise quantize UP a full power of two — measured on the
+# assembled poisson3d operator: 16.5-nnz rows forced w8=4 (32 slots/row,
+# 2.3 slots/nnz plan-wide); with w8=3 the same blocks pack at ~1.5.
+# Streams key on (P, stride) only, so extra width classes add no kernel
+# streams — only segment bookkeeping.
+W8_CLASSES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
 P_CLASSES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
 # Round classes above 32 run in the dynamic-round colsum kernel (serialized
 # vector loop, ~6x slower per round) instead of the statically unrolled one;
@@ -516,15 +524,22 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         s_choice = np.full(B, SUB, dtype=np.int64)
         w8_choice = np.full(B, W8_CLASSES[0], dtype=np.int64)
         cover8 = None
+        w8_arr = np.array(W8_CLASSES, dtype=np.int64)
         for s in (SUB, 4, 2, 1):
-            w8_s = np.full(B, W8_CLASSES[0], dtype=np.int64)
-            for c in W8_CLASSES:
-                occ = _coverage(s * c) / (LANES * s * c)
-                w8_s = np.where(occ >= config.threshold, c, w8_s)
-            cover = np.take_along_axis(
-                np.stack([_coverage(s * c) for c in W8_CLASSES]),
-                np.searchsorted(np.array(W8_CLASSES), w8_s)[None], 0)[0]
-            cost = LANES * s * w8_s + SPILL_W * (nnz_sell_b - cover)
+            # Width per block = argmin of the same slots + spill cost the
+            # stride comparison uses (this subsumes the reference's
+            # "grow while >= 75% occupancy" rule, dasp_f64.h:1052-1083:
+            # with SPILL_W ~ 8 the cost minimum sits where marginal slice
+            # slots stop buying >1/8 of their size in covered elements —
+            # the same knee, but it can stop at the intermediate widths
+            # the occupancy ladder skipped).
+            covs = np.stack([_coverage(s * c) for c in W8_CLASSES])
+            costs = (LANES * s * w8_arr[:, None]
+                     + SPILL_W * (nnz_sell_b[None] - covs))
+            ci = np.argmin(costs, axis=0)
+            w8_s = w8_arr[ci]
+            cover = np.take_along_axis(covs, ci[None], 0)[0]
+            cost = np.take_along_axis(costs, ci[None], 0)[0]
             if best_cost is None:          # s == 8: the reference choice
                 best_cost = cost
                 w8_choice = w8_s
