@@ -91,14 +91,11 @@ def resident_bytes(meta, arrays) -> int:
     part_rows = max(NV * (SUB // st) for _, st, NV in meta.streams)
     n += part_rows * LANES * 4 * pair         # partials scratch
     n += (meta.n_y2_rows + 1) * LANES * 4 * pair   # y2 scratch
-    n += meta.B_pad * LANES * 4 * pair        # output
+    # the OUTPUT buffer lives in HBM (memory_space=ANY; assembled chunks
+    # are DMA'd out of a double-buffered staging scratch) — only the
+    # staging counts against VMEM
+    n += 2 * 256 * LANES * 4 * pair           # output staging (2xCH_ROWS)
     res = arrays.get("resident")
-    if res and res.get("scr16"):
-        # dd lo halves of the y2 scratch and the output are stored bf16
-        # (lo <= 2^-24 |hi|, so bf16 storage bounds the error at
-        # ~2^-33 |v| — see the lo16 tier): subtract the saved halves
-        n -= (meta.n_y2_rows + 1) * LANES * 2
-        n -= meta.B_pad * LANES * 2
     if res:
         split = res.get("split", {})
         for si, a in res.get("bigs", {}).items():
@@ -113,8 +110,8 @@ def resident_bytes(meta, arrays) -> int:
         if res.get("rowsel") is not None:
             n += res["rowsel"].nbytes + res["lanesel"].nbytes
         # compressed resident operands replace the full-width ones
-        if res.get("perm8") is not None:
-            n -= arrays["out_perm"].nbytes - res["perm8"].nbytes
+        if res.get("perm_c") is not None:
+            n -= arrays["out_perm"].nbytes - res["perm_c"].nbytes
         if res.get("lo16") is not None:
             n -= sum(st["vals_lo"].nbytes // 2
                      for st in arrays["streams"])
@@ -294,9 +291,23 @@ def prepare(meta, arrays) -> None:
         # Operand compression, applied only when it is what makes the plan
         # fit (full-width operands cost nothing once resident, so small
         # plans keep them):
-        # (a) the outgather lane-permutation table holds lanes 0..127 —
-        #     int8 instead of int32 (kernel upcasts per chunk);
-        res["perm8"] = arrays["out_perm"].astype(np.int8)
+        # (a) COMPACT the outgather lane-permutation table: the static
+        #     program skips (chunk, slot) pairs whose sources are all the
+        #     zero row, so only used slots ship — as int8 (lanes 0..127;
+        #     the kernel upcasts per chunk).  Typically 2-4x smaller than
+        #     the full (k_used, B_pad, 128) table on power-law plans.
+        #     The dynamic-outgather fallback keeps the full table.
+        src = arrays["out_src"]
+        perm = arrays["out_perm"]       # (K_SOURCES, B_pad, LANES)
+        RU = _ru(meta.interpret)
+        Z = meta.n_y2_rows
+        used_rows = []
+        for u in range(meta.B_pad // RU):
+            for sk in range(meta.k_used):
+                if not (src[u * RU:(u + 1) * RU, sk] == Z).all():
+                    used_rows.append(perm[sk, u * RU:(u + 1) * RU, :])
+        res["perm_c"] = (np.stack(used_rows).astype(np.int8) if used_rows
+                         else np.zeros((1, RU, LANES), np.int8))
     if resident_bytes(meta, arrays) > RESIDENT_BUDGET and meta.n_long:
         # (b) the long-row incidence matrices hold small integer
         #     multiplicities (0/1 almost everywhere; measured max 58 on
@@ -319,13 +330,6 @@ def prepare(meta, arrays) -> None:
         import ml_dtypes
         res["lo16"] = [st["vals_lo"].astype(ml_dtypes.bfloat16)
                        for st in arrays["streams"]]
-    if resident_bytes(meta, arrays) > RESIDENT_BUDGET and meta.dtype == "f64":
-        # (d) dd lo SCRATCH compression: store the lo halves of the y2
-        #     scratch and the output buffer as bf16 (the same ~2^-33 |v|
-        #     bound as the lo16 value tier; the partials stay full f32 —
-        #     they live in the hot colsum store path).  This is what
-        #     closes the last ~4 MB on webbase-class dd plans.
-        res["scr16"] = True
     if resident_bytes(meta, arrays) > RESIDENT_BUDGET:
         arrays["resident"] = None
 
@@ -375,6 +379,10 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
     SMEM-driven dynamic one when None)."""
     interpret = meta.interpret
     RU = _ru(interpret)
+    # output staging: OG_GROUP og-chunks per HBM DMA (the out buffer
+    # lives in HBM; see the outgather section)
+    OG_GROUP = max(1, min(8, (meta.B_pad // RU + 1) // 2))
+    CH_ROWS = OG_GROUP * RU
     og_prog = (_og_program(np.asarray(src_static), meta.n_y2_rows, RU)
                if src_static is not None else None)
     S = meta.s_rows
@@ -404,12 +412,9 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
         from . import dd
 
     def kernel_factory(res_keys, og_prog, split_keys=frozenset(),
-                       big_c0=None, scr16=False):
+                       big_c0=None, compact_perm=False):
         have_long = bool(meta.n_long)
         big_c0 = big_c0 or {}
-        # dd lo halves of y2 / output / assembly scratch may be stored
-        # bf16 (prepare's scr16 footprint tier); reads upcast to f32
-        lo_dt = jnp.bfloat16 if scr16 else jnp.float32
 
         def kernel(*refs):
             i = 0
@@ -445,6 +450,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                 if have_long:
                     tot = (refs[i], refs[i + 1]); i += 2
                 scr = (refs[i], refs[i + 1]); i += 2
+                ostage = (refs[i], refs[i + 1]); i += 2
             else:
                 out_ref = refs[i]; i += 1
                 x_scr = refs[i]; i += 1
@@ -453,6 +459,8 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                 if have_long:
                     tot = refs[i]; i += 1
                 scr = refs[i]; i += 1
+                ostage = refs[i]; i += 1
+            o_sem = refs[i]; i += 1
             x_sem = refs[i]; i += 1
 
             t = pl.program_id(0)
@@ -470,7 +478,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                         cp.wait()
                     z1 = jnp.zeros((1, LANES), jnp.float32)
                     y2[0][pl.ds(Z, 1), :] = z1
-                    y2[1][pl.ds(Z, 1), :] = z1.astype(lo_dt)
+                    y2[1][pl.ds(Z, 1), :] = z1
                 else:
                     cp = pltpu.make_async_copy(x_in, x_scr, x_sem)
                     cp.start()
@@ -610,7 +618,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                                 fh = sh.reshape(count * R, LANES)
                                 fl = sl_.reshape(count * R, LANES)
                             y2[0][dst, :] = fh
-                            y2[1][dst, :] = fl.astype(lo_dt)
+                            y2[1][dst, :] = fl
                             return
                         v = part[sl_rows, :]
                         if w8 == 1 and F == 1:
@@ -704,8 +712,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                     dst = pl.ds(Z - meta.n_long_rows, meta.n_long_rows)
                     lsel = lanesel_ref[...]
                     y2[0][dst, :] = mm(rowsel_ref[...], s_h * lsel)
-                    y2[1][dst, :] = mm(rowsel_ref[...],
-                                       s_l * lsel).astype(lo_dt)
+                    y2[1][dst, :] = mm(rowsel_ref[...], s_l * lsel)
                 else:
                     s_row = None
                     for si in long_streams:
@@ -733,6 +740,38 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                     else:
                         dst_scr[o:o + 1, :] = src_y2[r:r + 1, :]
 
+            # The output buffer lives in HBM (memory_space=ANY): keeping
+            # it out of VMEM frees B_pad*128*4*pair bytes of the resident
+            # budget (8-19 MB on webbase/wikitalk-class plans), and the
+            # per-iteration HBM write matches the reference kernel's
+            # global-memory Y stores (dasp_f64.h:178-183).  Assembled
+            # chunks are staged in a double-buffered VMEM scratch and
+            # DMA'd out OG_GROUP og-chunks at a time; a buffer is only
+            # refilled after its previous copy completed.
+            def _stage_write(buf, k, ah, al=None):
+                r0 = buf * CH_ROWS + k * RU
+                if DD:
+                    ostage[0][r0:r0 + RU, :] = ah
+                    ostage[1][r0:r0 + RU, :] = al
+                else:
+                    ostage[r0:r0 + RU, :] = ah
+
+            def _group_copy(buf, base, rows_n, dyn=False):
+                """Start the HBM copy of ``rows_n`` staged rows; returns
+                the copy descriptors (callers wait before buffer reuse)."""
+                s0 = buf * CH_ROWS
+                cps = []
+                srcs = (ostage if DD else (ostage,))
+                dsts = (out_ref if DD else (out_ref,))
+                for j, (sref, dref) in enumerate(zip(srcs, dsts)):
+                    cp = pltpu.make_async_copy(
+                        sref.at[pl.ds(s0, rows_n)],
+                        dref.at[pl.ds(base, rows_n)],
+                        o_sem.at[buf, j])
+                    cp.start()
+                    cps.append(cp)
+                return cps
+
             if og_prog is not None:
                 # STATIC program: out_src is pack-time data, so the row
                 # assembly is fully specialized — runs of consecutive
@@ -741,39 +780,61 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                 # become one broadcast, and all-unused slots are skipped.
                 # This collapses the per-block (1,128) copy chain that
                 # issue-limits the dynamic outgather.
-                for u in range(meta.B_pad // RU):
+                n_u = meta.B_pad // RU
+                pending = [None, None]
+                m_used = 0      # running used-slot index (compact table
+                                # order matches prepare's (u, sk) scan)
+                for u in range(n_u):
+                    g, k = divmod(u, OG_GROUP)
+                    buf = g & 1
+                    if k == 0 and pending[buf] is not None:
+                        for cp in pending[buf]:
+                            cp.wait()
+                        pending[buf] = None
                     acc2 = None
                     for sk, runs in enumerate(og_prog[u]):
                         if runs is None:
                             continue
-                        pr = perm_ref[sk, u * RU:(u + 1) * RU, :].astype(
-                            jnp.int32)   # int8-compressed when over budget
+                        if compact_perm:
+                            pr = perm_ref[m_used].astype(jnp.int32)
+                            m_used += 1
+                        else:
+                            pr = perm_ref[
+                                sk, u * RU:(u + 1) * RU, :].astype(
+                                jnp.int32)
                         if DD:
                             scr_fill(scr[0], y2[0], runs)
                             scr_fill(scr[1], y2[1], runs)
                             gh = jnp.take_along_axis(scr[0][0:RU, :], pr,
                                                      axis=1)
                             gl = jnp.take_along_axis(scr[1][0:RU, :], pr,
-                                                     axis=1).astype(
-                                                         jnp.float32)
+                                                     axis=1)
                             acc2 = ((gh, gl) if acc2 is None
                                     else dd.add(acc2[0], acc2[1], gh, gl))
                         else:
                             scr_fill(scr, y2, runs)
-                            g = jnp.take_along_axis(scr[0:RU, :], pr,
-                                                    axis=1)
-                            acc2 = g if acc2 is None else acc2 + g
-                    rows = slice(u * RU, (u + 1) * RU)
+                            g_ = jnp.take_along_axis(scr[0:RU, :], pr,
+                                                     axis=1)
+                            acc2 = g_ if acc2 is None else acc2 + g_
+                    zz = jnp.zeros((RU, LANES), jnp.float32)
                     if DD:
-                        zz = jnp.zeros((RU, LANES), jnp.float32)
                         ah, al = acc2 if acc2 is not None else (zz, zz)
-                        out_ref[0][rows, :] = ah
-                        out_ref[1][rows, :] = al.astype(lo_dt)
+                        _stage_write(buf, k, ah, al)
                     else:
-                        if acc2 is None:
-                            acc2 = jnp.zeros((RU, LANES), jnp.float32)
-                        out_ref[rows, :] = acc2
+                        _stage_write(buf, k,
+                                     acc2 if acc2 is not None else zz)
+                    if k == OG_GROUP - 1 or u == n_u - 1:
+                        pending[buf] = _group_copy(
+                            buf, g * OG_GROUP * RU, (k + 1) * RU)
+                for buf in (0, 1):
+                    if pending[buf] is not None:
+                        for cp in pending[buf]:
+                            cp.wait()
             else:
+                # dynamic fallback (no host src table): assemble one
+                # og-chunk into stage buffer 0, then a SYNCHRONOUS copy
+                # per chunk — correctness-first; the production path is
+                # the static program above.
                 def og_body(u, _):
                     rows = pl.ds(u * RU, RU)
                     acc2 = None
@@ -792,8 +853,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                             gh = jnp.take_along_axis(scr[0][0:RU, :], pr,
                                                      axis=1)
                             gl = jnp.take_along_axis(scr[1][0:RU, :], pr,
-                                                     axis=1).astype(
-                                                         jnp.float32)
+                                                     axis=1)
                             acc2 = ((gh, gl) if acc2 is None
                                     else dd.add(acc2[0], acc2[1], gh, gl))
                         else:
@@ -801,20 +861,31 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                                                     axis=1)
                             acc2 = g if acc2 is None else acc2 + g
                     if DD:
-                        out_ref[0][rows, :] = acc2[0]
-                        out_ref[1][rows, :] = acc2[1].astype(lo_dt)
+                        ostage[0][0:RU, :] = acc2[0]
+                        ostage[1][0:RU, :] = acc2[1]
                     else:
-                        out_ref[rows, :] = acc2
+                        ostage[0:RU, :] = acc2
+                    srcs = (ostage if DD else (ostage,))
+                    dsts = (out_ref if DD else (out_ref,))
+                    for j, (sref, dref) in enumerate(zip(srcs, dsts)):
+                        cp = pltpu.make_async_copy(
+                            sref.at[pl.ds(0, RU)],
+                            dref.at[pl.ds(u * RU, RU)],
+                            o_sem.at[0, j])
+                        cp.start()
+                        cp.wait()
                     return 0
 
                 jax.lax.fori_loop(0, meta.B_pad // RU, og_body, 0)
 
-            # ---- chain: perturb resident x by the fresh output --------
+            # ---- chain: perturb resident x by the fresh result --------
+            # (sourced from y2, this iteration's folded output — the HBM
+            # out buffer is no longer VPU-readable)
             if DD:
                 x_scr[0][...] = x_scr[0][...] + \
-                    out_ref[0][pl.ds(0, 1), :] * jnp.float32(1e-36)
+                    y2[0][pl.ds(0, 1), :] * jnp.float32(1e-36)
             else:
-                x_scr[...] = x_scr[...] + out_ref[pl.ds(0, 1), :] * \
+                x_scr[...] = x_scr[...] + y2[pl.ds(0, 1), :] * \
                     jnp.float32(1e-36)
 
         return kernel
@@ -865,11 +936,18 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                                          lambda t: (0, 0),
                                          memory_space=pltpu.SMEM))
             operands.append(res["src_t"])
-        in_specs.append(pl.BlockSpec(
-            (meta.k_used, meta.B_pad, LANES), lambda t: (0, 0, 0),
-            memory_space=pltpu.VMEM))
-        operands.append(res["perm8"] if res.get("perm8") is not None
-                        else arrays["out_perm"])
+        perm_c = res.get("perm_c")
+        compact_perm = og_prog is not None and perm_c is not None
+        if compact_perm:
+            in_specs.append(pl.BlockSpec(
+                perm_c.shape, lambda t: (0, 0, 0),
+                memory_space=pltpu.VMEM))
+            operands.append(perm_c)
+        else:
+            in_specs.append(pl.BlockSpec(
+                (meta.k_used, meta.B_pad, LANES), lambda t: (0, 0, 0),
+                memory_space=pltpu.VMEM))
+            operands.append(arrays["out_perm"])
         split = res.get("split", {}) if meta.n_long else {}
         for si in res_keys:
             for big in (split[si] if si in split else (res["bigs"][si],)):
@@ -887,34 +965,29 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
             operands.append(res["lanesel"])
 
         rep = 2 if DD else 1
-        scr16 = bool(res.get("scr16"))
-        lo_dt = jnp.bfloat16 if scr16 else jnp.float32
         scratch = []
         scratch += [pltpu.VMEM((S, LANES), jnp.float32)] * rep  # x_scr
         scratch += [pltpu.VMEM((PART_ROWS, LANES),
                                jnp.float32)] * rep              # partials
-        scratch.append(pltpu.VMEM((R2, LANES), jnp.float32))    # y2 hi
-        if DD:
-            scratch.append(pltpu.VMEM((R2, LANES), lo_dt))      # y2 lo
+        scratch += [pltpu.VMEM((R2, LANES), jnp.float32)] * rep  # y2
         if meta.n_long:
             scratch += [pltpu.VMEM((max(tacc, 8), LANES),
                                    jnp.float32)] * rep
-        scratch.append(pltpu.VMEM((RU, LANES), jnp.float32))    # og scr hi
-        if DD:
-            scratch.append(pltpu.VMEM((RU, LANES), lo_dt))      # og scr lo
+        scratch += [pltpu.VMEM((RU, LANES), jnp.float32)] * rep  # og scr
+        # double-buffered output staging (the out buffer itself is HBM)
+        scratch += [pltpu.VMEM((2 * CH_ROWS, LANES), jnp.float32)] * rep
+        scratch.append(pltpu.SemaphoreType.DMA((2, rep)))  # out copies
         scratch.append(pltpu.SemaphoreType.DMA)      # x HBM->VMEM copy
 
-        ospec = pl.BlockSpec((meta.B_pad, LANES), lambda t: (0, 0),
-                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec(memory_space=pl.ANY)
         oshape = jax.ShapeDtypeStruct((meta.B_pad, LANES), jnp.float32)
-        oshape_lo = jax.ShapeDtypeStruct((meta.B_pad, LANES), lo_dt)
         call = pl.pallas_call(
             kernel_factory(res_keys, og_prog, frozenset(split),
-                           big_c0_static, scr16),
+                           big_c0_static, compact_perm),
             grid=(iters,),
             in_specs=in_specs,
             out_specs=(ospec, ospec) if DD else ospec,
-            out_shape=(oshape, oshape_lo) if DD else oshape,
+            out_shape=(oshape, oshape) if DD else oshape,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),

@@ -167,12 +167,14 @@ def test_budget_gate():
 
 def test_resident_compression_when_over_budget(monkeypatch):
     """Plans slightly over the VMEM budget compress resident operands
-    instead of falling back to streaming: the outgather lane table goes
-    int8 (lanes are 0..127) and — for dd — the lo-value streams go bf16
-    (lo is hi's rounding residual, so bf16 still bounds the value error
-    at ~2^-33; the webbase-class f64 plans fit exactly this way).
-    Golden-checked with both compressions active."""
+    instead of falling back to streaming: the outgather lane table is
+    COMPACTED to the used (chunk, slot) pairs as int8, and — for dd —
+    the lo-value streams go bf16 (lo is hi's rounding residual, so bf16
+    still bounds the value error at ~2^-33; the webbase-class f64 plans
+    fit exactly this way).  Golden-checked with both compressions
+    active."""
     from dasp_tpu.ops import dd
+    from dasp_tpu.ops.resident import _ru
     rng = np.random.default_rng(9)
     csr = mixed_categories(600, rng)
     meta, arrays = pb.plan_to_arrays(pb.build_wplan(csr), "f64")
@@ -180,16 +182,26 @@ def test_resident_compression_when_over_budget(monkeypatch):
     assert arrays["resident"] is not None
     need = resident.resident_bytes(meta, arrays)
     lo_total = sum(st["vals_lo"].nbytes for st in arrays["streams"])
-    # budget between (full size) and (both compressions applied): forces
-    # perm8 AND lo16 without making the plan ineligible
-    forced = need - arrays["out_perm"].nbytes * 3 // 4 - lo_total // 2
+    # exact savings of the tiers before lo16, so the forced budget lands
+    # between (perm compaction + bigs-int8) and (those + lo16)
+    RU = _ru(meta.interpret)
+    Z = meta.n_y2_rows
+    used = sum(1 for u in range(meta.B_pad // RU)
+               for sk in range(meta.k_used)
+               if not (arrays["out_src"][u * RU:(u + 1) * RU, sk]
+                       == Z).all())
+    s_perm = arrays["out_perm"].nbytes - max(used, 1) * RU * 128
+    s_bigs = sum(a.nbytes * 3 // 4
+                 for a in arrays["resident"].get("bigs", {}).values()
+                 if a.max(initial=0) <= 127)
+    forced = need - s_perm - s_bigs - lo_total // 2
     monkeypatch.setattr(resident, "RESIDENT_BUDGET", forced)
     op = pb.PallasSpMV(pb.build_wplan(csr), "f64")
     # rebuild through prepare under the lowered budget
     meta2, arrays2 = pb.plan_to_arrays(op.plan, "f64")
     resident.prepare(meta2, arrays2)
     assert arrays2["resident"] is not None
-    assert arrays2["resident"].get("perm8") is not None
+    assert arrays2["resident"].get("perm_c") is not None
     assert arrays2["resident"].get("lo16") is not None
     import jax
     op._meta = meta2
@@ -205,3 +217,30 @@ def test_resident_compression_when_over_budget(monkeypatch):
     scale = max(1.0, np.abs(golden).max())
     # lo-bf16 degrades ~1e-13 to ~1e-9; still far inside the 1e-5 contract
     np.testing.assert_allclose(y, golden, rtol=0, atol=1e-7 * scale)
+
+
+def test_resident_output_not_in_vmem_budget():
+    """The output buffer lives in HBM (assembled chunks DMA'd from a
+    double-buffered staging scratch), so resident_bytes must charge only
+    the small staging — not B_pad*LANES*4*pair (8-19 MB on webbase/
+    wikitalk-class plans, previously the margin that forced the removed
+    bf16-scratch tier and its Mosaic-alignment failure)."""
+    rng = np.random.default_rng(11)
+    csr = mixed_categories(600, rng)
+    meta, arrays = pb.plan_to_arrays(pb.build_wplan(csr), "f64")
+    resident.prepare(meta, arrays)
+    assert arrays["resident"] is not None
+    base = resident.resident_bytes(meta, arrays)
+    # recompute the non-output terms by hand; the gap to resident_bytes
+    # must be exactly the fixed staging scratch, independent of B_pad
+    n = sum(a.nbytes for st in arrays["streams"]
+            for k, a in st.items() if k != "wins")
+    n += arrays["out_perm"].nbytes
+    n += meta.s_rows * 128 * 4 * 2
+    n += max(NV * (8 // st) for _, st, NV in meta.streams) * 128 * 4 * 2
+    n += (meta.n_y2_rows + 1) * 128 * 4 * 2
+    res = arrays["resident"]
+    n += sum(a.nbytes for a in res.get("bigs", {}).values())
+    if res.get("rowsel") is not None:
+        n += res["rowsel"].nbytes + res["lanesel"].nbytes
+    assert base - n == 2 * 256 * 128 * 4 * 2   # staging only, no B_pad term
