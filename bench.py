@@ -121,7 +121,22 @@ def main() -> int:
                          "nsight, Makefile:10; this is the TPU analog)")
     ap.add_argument("--mtx", nargs="*", default=None,
                     help="benchmark these .mtx files instead of the suite")
+    ap.add_argument("--multichip", action="store_true",
+                    help="bench the row-partitioned multi-chip operator "
+                         "over all local devices (skips with a note on a "
+                         "single device; set DASP_FORCE_CPU=8 to time the "
+                         "8-virtual-device CPU mesh instead)")
     args = ap.parse_args()
+
+    if os.environ.get("DASP_FORCE_CPU"):
+        # sitecustomize pins JAX_PLATFORMS=axon; env overrides are too
+        # late once jax initializes, so flip the config knob here
+        n = int(os.environ["DASP_FORCE_CPU"])
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                   f" --xla_force_host_platform_device_"
+                                   f"count={n}")
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
 
     _install_handlers(args.deadline)
 
@@ -163,6 +178,37 @@ def main() -> int:
         suite = build_suite(names)
     # Cheapest arms first: a wall-budget kill then costs the least data.
     suite.sort(key=lambda t: t[1].nnz)
+
+    if args.multichip:
+        # Row-partitioned multi-chip timing (reference has no analog —
+        # this is the new distributed dimension, SURVEY.md §5): each
+        # chip owns a row slab, x replicates via all_gather over ICI.
+        n_dev = len(jax.devices())
+        if n_dev < 2:
+            print(f"# --multichip: {n_dev} device visible, skipping "
+                  "(set DASP_FORCE_CPU=8 for a simulated-mesh timing)",
+                  file=sys.stderr)
+            print(json.dumps({"metric": "spmv_multichip_geomean",
+                              "value": 0.0, "unit": "GFLOP/s",
+                              "vs_baseline": 0.0, "skipped": True}))
+            return 0
+        from dasp_tpu.parallel import MultiChipSpMV
+        SUMMARY.total = len(suite) * len(dtypes)
+        for dtype in dtypes:
+            for name, csr in suite:
+                x = np.random.default_rng(1).standard_normal(csr.n_cols)
+                op = MultiChipSpMV(csr, dtype=dtype, config=config)
+                res = bench_spmv(op, x, dtype, warmup=warmup, iters=iters)
+                SUMMARY.gflops.append(res.gflops)
+                SUMMARY.done += 1
+                print(f"# {name} {dtype} x{n_dev}: {res.gflops:.2f} "
+                      f"GFLOP/s ({res.seconds_per_iter*1e6:.1f} us/iter, "
+                      f"balance {op.stats['balance']:.2f}, pad "
+                      f"{sum(op.stats.get('pad_vregs', [0]))}/"
+                      f"{sum(op.stats.get('real_vregs', [1]))} vregs)",
+                      file=sys.stderr)
+                SUMMARY.emit()
+        return 0
 
     SUMMARY.total = len(suite) * len(dtypes)
     deferred_bcoo = []       # (name, dtype, bdt, csr, x): post-summary runs

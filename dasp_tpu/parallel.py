@@ -247,6 +247,7 @@ class MultiChipSpMV:
         self.dtype = dtype
         self.backend = backend
         self.n_rows, self.n_cols = csr.n_rows, csr.n_cols
+        self.nnz = csr.nnz
         self.stats = {}
 
         # Column relabel must be GLOBAL here (x is replicated via
