@@ -42,7 +42,9 @@ BCOO_RISK_NNZ = 19_000_000
 # bump when the WPlan on-disk format or packer semantics change (stale
 # cached plans also fail load_wplan and rebuild transparently)
 # v2: W8_CLASSES intermediate widths + cost-argmin width selection
-PLAN_CACHE_VER = 2
+# v3: stride-switch margin (narrower strides must win by >20% — hidden
+#     P-cost; same-window scircuit f32 A/B v2 37-39 vs v3 42-43 GF)
+PLAN_CACHE_VER = 3
 
 
 class _Summary:

@@ -520,6 +520,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         # stride choice may never spill MORE than the classic stride-8
         # choice would (its spills are genuine tails, handled by frags).
         SPILL_W = 8.0
+        STRIDE_MARGIN = float(_os.environ.get("DASP_STRIDE_MARGIN", "0.8"))
         best_cost = None
         s_choice = np.full(B, SUB, dtype=np.int64)
         w8_choice = np.full(B, W8_CLASSES[0], dtype=np.int64)
@@ -545,7 +546,14 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 w8_choice = w8_s
                 cover8 = cover
             else:
-                upd = (cost < best_cost) & (cover >= cover8)
+                # A narrower stride must win by a clear MARGIN: stride
+                # only prices slots+spill, but packing more rows per
+                # vreg widens the vreg's column-window union, raising
+                # the gather-round class P the router assigns LATER —
+                # a cost invisible here.  Measured (scircuit f32,
+                # same-window): marginal stride-4 wins fragmented 3
+                # streams into 5 (one at P=12) and cost 14% end to end.
+                upd = (cost < STRIDE_MARGIN * best_cost) & (cover >= cover8)
                 best_cost = np.where(upd, cost, best_cost)
                 s_choice = np.where(upd, s, s_choice)
                 w8_choice = np.where(upd, w8_s, w8_choice)
