@@ -145,7 +145,8 @@ def main() -> int:
     import jax
     from dasp_tpu import SpMVOperator, load_matrix
     from dasp_tpu.bench import (BCOOBaseline, append_record, bench_spmv,
-                                build_suite, geomean, record_from)
+                                build_suite, geomean, record_from,
+                                update_baseline)
     from dasp_tpu.config import DaspConfig, DEFAULT_CONFIG
     from dasp_tpu.utils import enable_compile_cache
 
@@ -374,6 +375,8 @@ def main() -> int:
         if base_res is not None:
             if dtype == "f32" and name in dasp_f32:
                 SUMMARY.ratios.append(dasp_f32[name] / base_res.gflops)
+            update_baseline(f"{args.csv_dir}/spmv_{dtype}_record.csv",
+                            name, base_res, bdt)
             print(f"# {name} BCOO {bdt} (deferred): "
                   f"{base_res.gflops:.2f} GFLOP/s", file=sys.stderr)
             SUMMARY.emit()

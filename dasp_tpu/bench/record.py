@@ -61,6 +61,35 @@ def append_record(path: str, row: Dict) -> None:
         f.write(",".join(str(row.get(k, "")) for k in FIELDS) + "\n")
 
 
+def update_baseline(path: str, filename: str, baseline,
+                    baseline_dtype: str) -> None:
+    """Back-fill the baseline columns of existing rows for ``filename``.
+
+    Outsized matrices (> bench.BCOO_RISK_NNZ) run their BCOO competitor
+    DEFERRED, after every dasp arm is recorded (a baseline worker crash
+    must not lose dasp rows) — this writes the late result into the rows
+    appended earlier, so big arms (livejournal) carry ratios too."""
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        lines = f.read().splitlines()
+    if not lines or lines[0] != ",".join(FIELDS):
+        return
+    idx = {k: i for i, k in enumerate(FIELDS)}
+    out = [lines[0]]
+    for line in lines[1:]:
+        cells = line.split(",")
+        if len(cells) == len(FIELDS) and cells[idx["filename"]] == filename:
+            cells[idx["baseline_dtype"]] = baseline_dtype
+            cells[idx["baseline_time"]] = str(
+                round(baseline.seconds_per_iter * 1e3, 6))
+            cells[idx["baseline_gflops"]] = str(round(baseline.gflops, 3))
+            line = ",".join(cells)
+        out.append(line)
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+
+
 def record_from(plan, result, name: str, dtype: str,
                 baseline=None, variant: str = "",
                 baseline_dtype: str = "") -> Dict:

@@ -244,6 +244,21 @@ DD_LO16_MIN_BYTES = int(os.environ.get("DASP_DD_LO16_MIN",
 # error — far inside the reference's 1e-5 contract (main_f64.cu:8), but
 # OFF by default (0) pending a measured win; see docs/DESIGN.md.
 DD_XLO_DROP_P = int(os.environ.get("DASP_DD_XLO_DROP_P", "0"))
+# Big-streamed-plan tier (same gate as the bf16-lo store): dd streams with
+# P >= this run their COLSUM in plain f32 (hi values x hi x, single
+# rounding per product); every downstream reduction stays compensated dd,
+# so the end-to-end error is ~2^-23 per element relative to the row's
+# absolute mass, INDEPENDENT of row length — ~1e-7 vs the reference's
+# 1e-5 verification contract (main_f64.cu:8).  The dd VPU arithmetic
+# (mul/add EFT chains), not the gathers, bounds round-heavy dd streams
+# (DESIGN.md §7b), so this is the lever for wikitalk/livejournal f64.
+# Measured same-window on wikitalk_like f64 (2026-08-19, tools/ddf32_ab.py):
+# off 7.7 GF, P>=8 8.4 GF, P>=1 9.4-11.2 GF; error on the real data 8.4e-8;
+# bench-path back-to-back 7.73 -> 9.13 GF.  Default 1 = every stream of a
+# streamed dd plan past the 16 MB latency floor.  0 disables.
+# DASP_DD_F32_FORCE=1 applies it regardless of plan size (tests / probes).
+DD_F32_COLSUM_P = int(os.environ.get("DASP_DD_F32_COLSUM_P", "1"))
+DD_F32_FORCE = os.environ.get("DASP_DD_F32_FORCE", "0") == "1"
 
 
 def _make_colsum_dyn(P: int, S: int, NV: int, interpret: bool):
@@ -599,6 +614,9 @@ class WMeta(NamedTuple):
     overflow_meta: Optional[object]
     interpret: bool
     k_used: int = K_SOURCES
+    # per-stream flag: colsum runs in plain f32 (dd plans over the
+    # big-streamed-plan gate; see DD_F32_COLSUM_P).  () = all-dd.
+    dd_f32: Tuple[bool, ...] = ()
 
 
 @gc_paused
@@ -677,10 +695,25 @@ def plan_to_arrays(plan, dtype: str = "f32",
         # stream from HBM every iteration too; the 16 MB floor keeps
         # small (test-scale, latency-bound) plans at full f32 lo.
         has_dyn = any(P > 32 for (P, _, _) in stream_shapes)
-        if sbytes > DD_LO16_MIN_BYTES or (has_dyn and
-                                          sbytes > DD_LO16_MIN_BYTES // 6):
+        big_streamed = (sbytes > DD_LO16_MIN_BYTES
+                        or (has_dyn and sbytes > DD_LO16_MIN_BYTES // 6))
+        if big_streamed:
             for e in arrays["streams"]:
                 e["vals_lo"] = e["vals_lo"].astype(ml_dtypes.bfloat16)
+        # The f32-colsum tier has its OWN (lower) floor: any streamed dd
+        # plan past the ~16 MB latency floor is VPU-EFT-bound, not
+        # gather-bound (DESIGN §7b), and the measured win exists whether
+        # or not the plan also crosses the bf16-lo threshold (wikitalk's
+        # 79 MB of streams sit between the two).  Tiny test-scale plans
+        # keep full dd colsum.
+        f32cs_eligible = sbytes > DD_LO16_MIN_BYTES // 6
+        if DD_F32_COLSUM_P and (f32cs_eligible or DD_F32_FORCE):
+            dd_f32 = tuple(P >= DD_F32_COLSUM_P
+                           for (P, _, _) in stream_shapes)
+        else:
+            dd_f32 = (False,) * len(stream_shapes)
+    else:
+        dd_f32 = ()
 
     sell_segs = tuple((g.stream, g.vreg_offset, g.n_slices, g.w8, g.stride)
                       for g in plan.sell)
@@ -761,7 +794,7 @@ def plan_to_arrays(plan, dtype: str = "f32",
                  n_long=plan.n_long, n_long_rows=n_long_rows,
                  n_y2_rows=plan.n_y2_rows, B_pad=B_pad,
                  overflow_meta=overflow_meta, interpret=not _on_tpu(),
-                 k_used=k_used)
+                 k_used=k_used, dd_f32=dd_f32)
     return meta, arrays
 
 
@@ -893,8 +926,24 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
     """f64 (double-double) executor: hi/lo everywhere, compensated sums."""
     from . import dd
     xh, xl = x2d["hi"], x2d["lo"]
+    dd_f32 = meta.dd_f32 or (False,) * len(meta.streams)
     partials = []
-    for (P, stride, NV), st in zip(meta.streams, arrays["streams"]):
+    for (P, stride, NV), st, f32cs in zip(meta.streams, arrays["streams"],
+                                          dd_f32):
+        if f32cs:
+            # Big-plan f32-colsum tier (DD_F32_COLSUM_P): products and
+            # sublane sums in plain f32 over the hi halves; the lo
+            # partial is identically zero and every downstream reduction
+            # stays compensated dd, bounding the error at ~2^-23 of the
+            # row's absolute mass (inside main_f64.cu:8's 1e-5 contract).
+            if P <= 32:
+                call = _make_colsum(P, meta.s_rows, NV, meta.interpret,
+                                    stride)
+            else:
+                call = _make_colsum_dyn(P, meta.s_rows, NV, meta.interpret)
+            h = call(st["wins"], st["vals_hi"], st["idx"], xh)
+            partials.append((h, jnp.zeros_like(h)))
+            continue
         if P <= 32:
             call = _make_colsum_dd(P, meta.s_rows, NV, meta.interpret,
                                    stride)

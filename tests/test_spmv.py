@@ -73,6 +73,24 @@ def test_spmv_dd_lo_bf16_gate(rng, monkeypatch):
     np.testing.assert_allclose(y, gold, rtol=0, atol=1e-7 * scale)
 
 
+def test_spmv_dd_f32_colsum_tier(rng, monkeypatch):
+    """Big streamed dd plans run high-P streams' COLSUM in plain f32
+    (pallas_backend.DD_F32_COLSUM_P); downstream reductions stay
+    compensated dd, so the error is ~2^-23 of the row's absolute mass
+    regardless of row length — inside main_f64.cu:8's 1e-5 contract."""
+    from dasp_tpu.ops import pallas_backend as pb
+    monkeypatch.setattr(pb, "DD_F32_FORCE", True)
+    monkeypatch.setattr(pb, "DD_F32_COLSUM_P", 1)     # every stream
+    csr = CASES["mixed"](rng)
+    x = rng.standard_normal(csr.n_cols)
+    op = SpMVOperator(csr, dtype="f64", backend="pallas")
+    assert any(op._meta.dd_f32), "tier did not engage"
+    y = np.asarray(op(x), dtype=np.float64)
+    gold = csr.spmv(x)
+    scale = np.max(np.abs(gold)) + 1e-30
+    np.testing.assert_allclose(y, gold, rtol=0, atol=1e-6 * scale)
+
+
 def test_spmv_empty_matrix(rng):
     csr = random_csr(50, 50, np.zeros(50, dtype=np.int64), rng)
     op = SpMVOperator(csr, dtype="f32", backend="xla")
