@@ -89,7 +89,7 @@ def _load():
                                     ctypes.POINTER(ctypes.c_double)]
     lib.dasp_csr_free.restype = None
     lib.dasp_csr_free.argtypes = [ctypes.c_void_p]
-    for name in ("dasp_sym_perm", "dasp_col_perm"):
+    for name in ("dasp_sym_perm", "dasp_col_perm", "dasp_first_touch"):
         fn = getattr(lib, name, None)
         if fn is not None:
             fn.restype = None
@@ -192,6 +192,24 @@ def sym_perm(row_ptr, col_idx, values, newpos):
         out_col.ctypes.data_as(P(ctypes.c_int32)),
         out_val.ctypes.data_as(P(ctypes.c_double)))
     return out_ptr, out_col, out_val
+
+
+def first_touch(col_idx, n_cols: int, hub_min_deg: int):
+    """Native first-touch column relabel (relabel.first_touch_perm
+    semantics: hubs by descending degree, touched tail in first-touch
+    traversal order, untouched last).  Returns ``newpos`` int64 or None
+    if the library lacks the entry point."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dasp_first_touch"):
+        return None
+    col_idx = np.ascontiguousarray(col_idx, dtype=np.int32)
+    newpos = np.empty(n_cols, dtype=np.int64)
+    P = ctypes.POINTER
+    lib.dasp_first_touch(
+        n_cols, col_idx.size,
+        col_idx.ctypes.data_as(P(ctypes.c_int32)),
+        hub_min_deg, newpos.ctypes.data_as(P(ctypes.c_int64)))
+    return newpos
 
 
 def col_perm(row_ptr, col_idx, values, newpos):

@@ -246,6 +246,11 @@ def first_touch_perm(csr: CSRMatrix, hub_min_deg: int = 4) -> np.ndarray:
     row blocks touch consecutive tail labels, so a block's tail reads
     land in few windows.  Untouched (degree-0) columns go last.
     """
+    nat = _native_perm()
+    if nat is not None and csr.nnz:
+        newpos = nat.first_touch(csr.col_idx, csr.n_cols, hub_min_deg)
+        if newpos is not None:
+            return newpos
     deg = np.bincount(csr.col_idx, minlength=csr.n_cols)
     hubs = np.flatnonzero(deg >= hub_min_deg)
     hubs = hubs[np.argsort(-deg[hubs], kind="stable")]

@@ -337,6 +337,53 @@ def test_relabel_reduces_vector_cost(rng):
     assert cost(rel) <= cost(base)
 
 
+def test_native_perm_kernels_match_numpy(rng):
+    """The C++ relabel kernels (native/perm.cpp: dasp_first_touch,
+    dasp_sym_perm, dasp_col_perm) must reproduce the numpy fallbacks
+    EXACTLY — same hub ordering (descending degree, ties by ascending
+    old id), same first-touch tail order, same within-row ascending
+    columns after the permutation."""
+    from dasp_tpu.io import native as nat
+    if nat._load() is None:
+        pytest.skip("libdasp_host.so not built")
+    csr = CASES["powerlaw"](rng)
+    for hub in (0, 1, 4, 50):
+        ft = nat.first_touch(csr.col_idx, csr.n_cols, hub)
+        # numpy reference (pre-native first_touch_perm body)
+        deg = np.bincount(csr.col_idx, minlength=csr.n_cols)
+        hubs = np.flatnonzero(deg >= hub)
+        hubs = hubs[np.argsort(-deg[hubs], kind="stable")]
+        is_hub = np.zeros(csr.n_cols, bool)
+        is_hub[hubs] = True
+        fp = np.empty(csr.n_cols, np.int64)
+        fp[csr.col_idx[::-1]] = np.arange(csr.nnz - 1, -1, -1,
+                                          dtype=np.int64)
+        tail = np.flatnonzero((deg > 0) & ~is_hub)
+        tail = tail[np.argsort(fp[tail], kind="stable")]
+        unt = np.flatnonzero((deg == 0) & ~is_hub)
+        order = np.concatenate([hubs, tail, unt])
+        ft_np = np.empty(csr.n_cols, np.int64)
+        ft_np[order] = np.arange(csr.n_cols)
+        np.testing.assert_array_equal(ft, ft_np)
+    perm = ft_np
+    lens = np.diff(csr.row_ptr)
+    rows = np.repeat(np.arange(csr.n_rows, dtype=np.int64), lens)
+    new_r, new_c = perm[rows], perm[csr.col_idx]
+    o = np.lexsort((new_c, new_r))
+    lens_new = np.zeros(csr.n_rows, np.int64)
+    lens_new[perm] = lens
+    rp_np = np.zeros(csr.n_rows + 1, np.int64)
+    np.cumsum(lens_new, out=rp_np[1:])
+    rp, c2, v2 = nat.sym_perm(csr.row_ptr, csr.col_idx, csr.values, perm)
+    np.testing.assert_array_equal(rp, rp_np)
+    np.testing.assert_array_equal(c2, new_c[o].astype(np.int32))
+    np.testing.assert_array_equal(v2, csr.values[o])
+    o2 = np.lexsort((new_c, rows))
+    c3, v3 = nat.col_perm(csr.row_ptr, csr.col_idx, csr.values, perm)
+    np.testing.assert_array_equal(c3, new_c[o2].astype(np.int32))
+    np.testing.assert_array_equal(v3, csr.values[o2])
+
+
 def test_relabel_save_load_roundtrip(tmp_path, rng):
     from dasp_tpu.wplan import save_wplan, load_wplan
     csr = CASES["powerlaw"](rng)
