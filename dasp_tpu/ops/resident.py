@@ -73,21 +73,44 @@ def _ru(interpret: bool) -> int:
     return int(os.environ.get("DASP_RES_RU", "32"))
 
 
+def _dd_f32(meta):
+    """Per-stream f32-colsum flags for dd plans (see DD_F32_COLSUM_P in
+    pallas_backend: products + sublane sums over the hi halves in plain
+    f32; every downstream reduction stays compensated dd).  In resident
+    mode the tier additionally collapses the dd colsum's live-vector set
+    (the 42.5 MiB register-spill overhead that barred wikitalk-class dd
+    plans from residency) and drops the flagged streams' lo-value
+    operands from VMEM."""
+    if meta.dtype != "f64":
+        return (False,) * len(meta.streams)
+    return meta.dd_f32 or (False,) * len(meta.streams)
+
+
 def resident_bytes(meta, arrays) -> int:
     """Total VMEM footprint of operands + scratch for the resident call."""
+    dd_f32 = _dd_f32(meta)
     n = 0
-    for st in arrays["streams"]:
+    for si, st in enumerate(arrays["streams"]):
         for k, a in st.items():
-            if k != "wins":
-                n += a.nbytes if hasattr(a, "nbytes") else 0
+            if k == "wins":
+                continue
+            if k == "vals_lo" and dd_f32[si]:
+                continue          # f32-colsum streams ship hi only
+            n += a.nbytes if hasattr(a, "nbytes") else 0
     n += arrays["out_perm"].nbytes
     pair = 2 if meta.dtype == "f64" else 1    # dd carries hi/lo pairs
+    # og_f32 (every stream on the f32-colsum tier): the whole kernel
+    # body past the compensated folds runs single-f32 — no lo halves of
+    # x/partials/y2/staging at all (see prepare / make_resident_loop)
+    if pair == 2 and all(dd_f32):
+        pair = 1
     # x input stays in HBM (ANY space, DMA'd into scratch at t==0):
     # only the x_scr copy occupies VMEM
     n += meta.s_rows * LANES * 4 * pair       # x scratch
     # partials are SINGLE-BUFFERED: each stream's colsum is folded into
     # y2 (and its long totals taken) before the next stream runs, so the
-    # scratch holds one stream at a time — max, not sum
+    # scratch holds one stream at a time — max, not sum.  f32-colsum
+    # streams write hi partials only (their lo is an implicit zero).
     part_rows = max(NV * (SUB // st) for _, st, NV in meta.streams)
     n += part_rows * LANES * 4 * pair         # partials scratch
     n += (meta.n_y2_rows + 1) * LANES * 4 * pair   # y2 scratch
@@ -113,8 +136,10 @@ def resident_bytes(meta, arrays) -> int:
         if res.get("perm_c") is not None:
             n -= arrays["out_perm"].nbytes - res["perm_c"].nbytes
         if res.get("lo16") is not None:
+            # only streams that actually ship lo were counted above
             n -= sum(st["vals_lo"].nbytes // 2
-                     for st in arrays["streams"])
+                     for si, st in enumerate(arrays["streams"])
+                     if not dd_f32[si])
     return n
 
 
@@ -268,6 +293,26 @@ def prepare(meta, arrays) -> None:
             lanesel[p, p % LONG_PACK] = 1.0
         res["rowsel"] = rowsel
         res["lanesel"] = lanesel
+    if meta.dtype == "f64" and all(_dd_f32(meta)):
+        # og_f32 mode: with EVERY stream on the f32-colsum tier, the
+        # kernel body past the folds also runs single-f32 (folds stay
+        # COMPENSATED — dd.sum_axis collapsed to its correctly-rounded
+        # f32 total; the outgather adds <= K_SOURCES + overflow terms in
+        # f32).  End-to-end error ~2^-23 of row mass (measured ~1e-7),
+        # inside main_f64.cu:8's 1e-5 contract — and the lo halves of
+        # x/partials/y2/staging plus the unrolled outgather's dd EFT
+        # chains disappear, which is what fits wikitalk-class dd plans
+        # (147.4M program, 42.9M register spills) into the 128M VMEM.
+        res["og_f32"] = True
+        # the long-row incidence matrices hold small integer
+        # multiplicities: ship them int8 (exact; the kernel upcasts
+        # before the MXU matmul) — ~21M -> ~5M on wikitalk-class plans
+        if meta.n_long:
+            def _i8a(a):
+                return a.astype(np.int8) if a.max(initial=0) <= 127 else a
+            res["bigs"] = {si: _i8a(a) for si, a in res["bigs"].items()}
+            res["split"] = {si: (_i8a(p[0]), _i8a(p[1]))
+                            for si, p in res.get("split", {}).items()}
     # transposed scalar tables (see smem_bytes): wide rows, few of them
     res["wins_t"] = [np.ascontiguousarray(st["wins"].T)
                      for st in arrays["streams"]]
@@ -327,9 +372,12 @@ def prepare(meta, arrays) -> None:
         #     instead of ~1e-13, far inside the reference's 1e-5
         #     contract (main_f64.cu:8).  This is what brings the
         #     webbase-class dd footprint under the VMEM budget.
+        #     f32-colsum streams never ship their lo at all (None).
         import ml_dtypes
-        res["lo16"] = [st["vals_lo"].astype(ml_dtypes.bfloat16)
-                       for st in arrays["streams"]]
+        dd_f32 = _dd_f32(meta)
+        res["lo16"] = [None if dd_f32[si]
+                       else st["vals_lo"].astype(ml_dtypes.bfloat16)
+                       for si, st in enumerate(arrays["streams"])]
     if resident_bytes(meta, arrays) > RESIDENT_BUDGET:
         arrays["resident"] = None
 
@@ -408,6 +456,19 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
     tot_base, tacc = {}, 0
 
     DD = meta.dtype == "f64"
+    dd_f32 = _dd_f32(meta)
+    # full_dd_any: some stream still runs the all-dd colsum, so the x-lo
+    # table and the lo half of the partials scratch must exist.  When
+    # every stream is on the f32-colsum tier both are dropped (lo enters
+    # only through the folds' compensated sums).
+    full_dd_any = DD and not all(dd_f32)
+    # og_f32 mode (prepare): every stream f32cs => the kernel BODY is the
+    # single-f32 kernel running on the hi halves — only the folds stay
+    # compensated (collapsed to their correctly-rounded f32 totals).
+    # DDK gates the kernel/body structure; DD still gates the operator's
+    # dict(hi, lo) interface in fn().
+    OGF32 = DD and all(dd_f32) and len(dd_f32) > 0
+    DDK = DD and not OGF32
     if DD:
         from . import dd
 
@@ -419,15 +480,19 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
         def kernel(*refs):
             i = 0
             wins, vals, idx = [], [], []
-            for _ in range(n_streams):
+            for si_ in range(n_streams):
                 wins.append(refs[i]); i += 1
-                if DD:
+                if DDK and not dd_f32[si_]:
                     vals.append((refs[i], refs[i + 1])); i += 2
+                elif DDK:
+                    vals.append((refs[i], None)); i += 1
                 else:
                     vals.append(refs[i]); i += 1
                 idx.append(refs[i]); i += 1
-            if DD:
+            if DDK and full_dd_any:
                 x_in = (refs[i], refs[i + 1]); i += 2
+            elif DDK:
+                x_in = (refs[i], None); i += 1
             else:
                 x_in = refs[i]; i += 1
             if og_prog is None:
@@ -442,10 +507,14 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
             if have_long:
                 rowsel_ref = refs[i]; i += 1
                 lanesel_ref = refs[i]; i += 1
-            if DD:
+            if DDK:
                 out_ref = (refs[i], refs[i + 1]); i += 2
-                x_scr = (refs[i], refs[i + 1]); i += 2
-                part = (refs[i], refs[i + 1]); i += 2
+                if full_dd_any:
+                    x_scr = (refs[i], refs[i + 1]); i += 2
+                    part = (refs[i], refs[i + 1]); i += 2
+                else:
+                    x_scr = (refs[i], None); i += 1
+                    part = (refs[i], None); i += 1
                 y2 = (refs[i], refs[i + 1]); i += 2
                 if have_long:
                     tot = (refs[i], refs[i + 1]); i += 2
@@ -471,8 +540,8 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                 # — the resident copy lives only in x_scr, saving
                 # S*LANES*4*pair bytes of the budget) and is DMA'd into
                 # the scratch once; every iteration reads/updates x_scr.
-                if DD:
-                    for j in (0, 1):
+                if DDK:
+                    for j in (0, 1) if full_dd_any else (0,):
                         cp = pltpu.make_async_copy(x_in[j], x_scr[j], x_sem)
                         cp.start()
                         cp.wait()
@@ -496,7 +565,8 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                 w_ref, v_ref, i_ref = wins[si], vals[si], idx[si]
 
                 def cs_body(u, _, P=P, R=R, stride=stride, base=base,
-                            w_ref=w_ref, v_ref=v_ref, i_ref=i_ref):
+                            w_ref=w_ref, v_ref=v_ref, i_ref=i_ref,
+                            f32cs=dd_f32[si]):
                     parts = []
                     parts_l = []
                     for k in range(RU):
@@ -512,7 +582,33 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                             g = jnp.take_along_axis(xw, q, axis=0)
                             return jnp.take_along_axis(g, lam, axis=1)
 
-                        if DD:
+                        if DDK and f32cs:
+                            # f32-colsum tier (DD_F32_COLSUM_P): products
+                            # and sublane sums over the hi halves in
+                            # plain f32; lo partials are an implicit
+                            # zero, every downstream reduction stays
+                            # compensated dd.  Error ~2^-23 of the row's
+                            # absolute mass (inside main_f64.cu:8's 1e-5
+                            # contract) — and the dd EFT chains whose
+                            # live-vector set caused the 42.5 MiB
+                            # register-spill overhead disappear.
+                            vh = v_ref[0][pl.ds(v * SUB, SUB), :]
+                            if P == 1:
+                                g = gat(x_scr[0], 0)
+                            else:
+                                rnd = jax.lax.shift_right_logical(ix, 10)
+                                g = None
+                                for p in range(P):
+                                    gp = gat(x_scr[0], p)
+                                    g = (gp if g is None
+                                         else jnp.where(rnd == p, gp, g))
+                            prod = vh * g
+                            for L in range(R):
+                                parts.append(jnp.sum(
+                                    prod[L * stride:(L + 1) * stride],
+                                    axis=0, keepdims=True))
+                            continue
+                        if DDK:
                             from .pallas_backend import DD_XLO_DROP_P
                             drop_lo = (DD_XLO_DROP_P
                                        and P >= DD_XLO_DROP_P)
@@ -568,7 +664,10 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                             parts.append(jnp.sum(
                                 prod[L * stride:(L + 1) * stride], axis=0,
                                 keepdims=True))
-                    if DD:
+                    if DDK and f32cs:
+                        part[0][pl.ds(base + u * RU * R, RU * R), :] = \
+                            jnp.concatenate(parts, 0)
+                    elif DDK:
                         part[0][pl.ds(base + u * RU * R, RU * R), :] = \
                             jnp.concatenate(parts, 0)
                         part[1][pl.ds(base + u * RU * R, RU * R), :] = \
@@ -597,13 +696,18 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                     # here produced overlapping folds that only surfaced
                     # on plans with segments longer than one chunk.
                     def fold(i0, count, seg_row=seg_row, base=seg_base,
-                             rows_per=rows_per, w8=w8, R=R_seg, F=F):
+                             rows_per=rows_per, w8=w8, R=R_seg, F=F,
+                             f32cs=dd_f32[si]):
                         sl_rows = pl.ds(base + i0 * rows_per,
                                         count * rows_per)
                         dst = pl.ds(seg_row + i0 * R, count * R)
-                        if DD:
+                        if DDK:
                             vh = part[0][sl_rows, :]
-                            vl = part[1][sl_rows, :]
+                            # f32-colsum streams: lo partials are an
+                            # implicit zero (never written); the dd fold
+                            # still captures the fold's own rounding
+                            vl = (jnp.zeros_like(vh) if f32cs
+                                  else part[1][sl_rows, :])
                             if w8 == 1 and F == 1:
                                 fh, fl = vh, vl
                             else:
@@ -623,6 +727,20 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                         v = part[sl_rows, :]
                         if w8 == 1 and F == 1:
                             f = v
+                        elif OGF32:
+                            # og_f32: folds stay COMPENSATED (collapsed
+                            # to the correctly-rounded f32 total) so the
+                            # end-to-end error stays ~2^-23 of row mass
+                            # even for 128-term folds
+                            sh = v.reshape(count, w8, R, F, LANES)
+                            zl = jnp.zeros_like(sh)
+                            if F > 1:
+                                sh, zl = dd.sum_axis(sh, zl, 3)
+                            else:
+                                sh = sh.reshape(count, w8, R, LANES)
+                                zl = zl.reshape(count, w8, R, LANES)
+                            sh, zl = dd.sum_axis(sh, zl, 1)
+                            f = (sh + zl).reshape(count * R, LANES)
                         else:
                             f = v.reshape(count, w8, R, F, LANES) \
                                  .sum((1, 3)).reshape(count * R, LANES)
@@ -644,16 +762,21 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                     R_st = SUB // stride
                     tb = tot_base[si]
 
-                    def tl_body(u, _, R_st=R_st, tb=tb):
+                    def tl_body(u, _, R_st=R_st, tb=tb, f32cs=dd_f32[si]):
                         rows = pl.ds(u * RU * R_st, RU * R_st)
                         dst = pl.ds(tb + u * RU, RU)
-                        if DD:
-                            th, tl = dd.sum_axis(
-                                part[0][rows, :].reshape(RU, R_st, LANES),
-                                part[1][rows, :].reshape(RU, R_st, LANES),
-                                1)
+                        if DDK:
+                            ph_t = part[0][rows, :].reshape(RU, R_st, LANES)
+                            pl_t = (jnp.zeros_like(ph_t) if f32cs
+                                    else part[1][rows, :].reshape(
+                                        RU, R_st, LANES))
+                            th, tl = dd.sum_axis(ph_t, pl_t, 1)
                             tot[0][dst, :] = th
                             tot[1][dst, :] = tl
+                        elif OGF32:
+                            v = part[rows, :].reshape(RU, R_st, LANES)
+                            th, tl = dd.sum_axis(v, jnp.zeros_like(v), 1)
+                            tot[dst, :] = th + tl
                         else:
                             v = part[rows, :]
                             tot[dst, :] = \
@@ -673,7 +796,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
 
-                if DD:
+                if DDK:
                     # hi/lo pass separately through the 0/1 incidence
                     # matmul (fan-in gated in ``prepare``); streams
                     # combine with compensated adds
@@ -716,10 +839,20 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                 else:
                     s_row = None
                     for si in long_streams:
-                        W = big_refs[si].shape[1]
+                        br = big_refs[si]
+                        # og_f32 keeps the dd fan-in cascade (prepare
+                        # splits for dtype f64): the f32 accumulation
+                        # per matmul LEVEL stays capped
+                        W = (br[0] if isinstance(br, tuple)
+                             else br).shape[1]
                         tb = tot_base[si] + big_c0.get(si, 0)
-                        term = mm(big_refs[si][...].astype(jnp.float32),
-                                  tot[pl.ds(tb, W), :])
+                        t_h = tot[pl.ds(tb, W), :]
+                        if isinstance(br, tuple):
+                            b1 = br[0][...].astype(jnp.float32)
+                            b2 = br[1][...].astype(jnp.float32)
+                            term = mm(b2, mm(b1, t_h))
+                        else:
+                            term = mm(br[...].astype(jnp.float32), t_h)
                         s_row = term if s_row is None else s_row + term
                     # broadcast the per-scalar lane sum across lanes, then
                     # scatter scalars to their 127-packed (row, lane) homes
@@ -750,7 +883,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
             # refilled after its previous copy completed.
             def _stage_write(buf, k, ah, al=None):
                 r0 = buf * CH_ROWS + k * RU
-                if DD:
+                if DDK:
                     ostage[0][r0:r0 + RU, :] = ah
                     ostage[1][r0:r0 + RU, :] = al
                 else:
@@ -761,8 +894,8 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                 the copy descriptors (callers wait before buffer reuse)."""
                 s0 = buf * CH_ROWS
                 cps = []
-                srcs = (ostage if DD else (ostage,))
-                dsts = (out_ref if DD else (out_ref,))
+                srcs = (ostage if DDK else (ostage,))
+                dsts = (out_ref if DDK else (out_ref,))
                 for j, (sref, dref) in enumerate(zip(srcs, dsts)):
                     cp = pltpu.make_async_copy(
                         sref.at[pl.ds(s0, rows_n)],
@@ -802,7 +935,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                             pr = perm_ref[
                                 sk, u * RU:(u + 1) * RU, :].astype(
                                 jnp.int32)
-                        if DD:
+                        if DDK:
                             scr_fill(scr[0], y2[0], runs)
                             scr_fill(scr[1], y2[1], runs)
                             gh = jnp.take_along_axis(scr[0][0:RU, :], pr,
@@ -817,7 +950,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                                                      axis=1)
                             acc2 = g_ if acc2 is None else acc2 + g_
                     zz = jnp.zeros((RU, LANES), jnp.float32)
-                    if DD:
+                    if DDK:
                         ah, al = acc2 if acc2 is not None else (zz, zz)
                         _stage_write(buf, k, ah, al)
                     else:
@@ -839,7 +972,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                     rows = pl.ds(u * RU, RU)
                     acc2 = None
                     for sk in range(meta.k_used):
-                        if DD:
+                        if DDK:
                             for k in range(RU):
                                 r = pl.ds(src_ref[sk, u * RU + k], 1)
                                 scr[0][pl.ds(k, 1), :] = y2[0][r, :]
@@ -849,7 +982,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                                 scr[pl.ds(k, 1), :] = \
                                     y2[pl.ds(src_ref[sk, u * RU + k], 1), :]
                         pr = perm_ref[sk, rows, :].astype(jnp.int32)
-                        if DD:
+                        if DDK:
                             gh = jnp.take_along_axis(scr[0][0:RU, :], pr,
                                                      axis=1)
                             gl = jnp.take_along_axis(scr[1][0:RU, :], pr,
@@ -860,13 +993,13 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                             g = jnp.take_along_axis(scr[0:RU, :], pr,
                                                     axis=1)
                             acc2 = g if acc2 is None else acc2 + g
-                    if DD:
+                    if DDK:
                         ostage[0][0:RU, :] = acc2[0]
                         ostage[1][0:RU, :] = acc2[1]
                     else:
                         ostage[0:RU, :] = acc2
-                    srcs = (ostage if DD else (ostage,))
-                    dsts = (out_ref if DD else (out_ref,))
+                    srcs = (ostage if DDK else (ostage,))
+                    dsts = (out_ref if DDK else (out_ref,))
                     for j, (sref, dref) in enumerate(zip(srcs, dsts)):
                         cp = pltpu.make_async_copy(
                             sref.at[pl.ds(0, RU)],
@@ -881,7 +1014,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
             # ---- chain: perturb resident x by the fresh result --------
             # (sourced from y2, this iteration's folded output — the HBM
             # out buffer is no longer VPU-readable)
-            if DD:
+            if DDK:
                 x_scr[0][...] = x_scr[0][...] + \
                     y2[0][pl.ds(0, 1), :] * jnp.float32(1e-36)
             else:
@@ -909,13 +1042,18 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
             operands.append(res["wins_t"][si])
             vspec = pl.BlockSpec((NV * SUB, LANES), lambda t: (0, 0),
                                  memory_space=pltpu.VMEM)
-            if DD:
+            if DDK:
                 in_specs.append(vspec)
                 operands.append(st["vals_hi"])
+                if not dd_f32[si]:
+                    in_specs.append(vspec)
+                    lo16 = res.get("lo16")
+                    operands.append(
+                        lo16[si] if lo16 is not None
+                        and lo16[si] is not None else st["vals_lo"])
+            elif DD:                  # og_f32: ship the hi halves only
                 in_specs.append(vspec)
-                lo16 = res.get("lo16")
-                operands.append(lo16[si] if lo16 is not None
-                                else st["vals_lo"])
+                operands.append(st["vals_hi"])
             else:
                 in_specs.append(vspec)
                 v32 = res.get("vals32")
@@ -929,7 +1067,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
         # no VMEM input block is allocated for it (see _init)
         xspec = pl.BlockSpec(memory_space=pl.ANY)
         in_specs.append(xspec)
-        if DD:
+        if full_dd_any:
             in_specs.append(xspec)
         if og_prog is None:
             in_specs.append(pl.BlockSpec((meta.k_used, meta.B_pad),
@@ -964,11 +1102,14 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                                          memory_space=pltpu.VMEM))
             operands.append(res["lanesel"])
 
-        rep = 2 if DD else 1
+        rep = 2 if DDK else 1
+        # x-lo scratch and lo partials exist only while some stream still
+        # runs the all-dd colsum (see full_dd_any above)
+        xrep = 2 if full_dd_any else 1
         scratch = []
-        scratch += [pltpu.VMEM((S, LANES), jnp.float32)] * rep  # x_scr
+        scratch += [pltpu.VMEM((S, LANES), jnp.float32)] * xrep  # x_scr
         scratch += [pltpu.VMEM((PART_ROWS, LANES),
-                               jnp.float32)] * rep              # partials
+                               jnp.float32)] * xrep             # partials
         scratch += [pltpu.VMEM((R2, LANES), jnp.float32)] * rep  # y2
         if meta.n_long:
             scratch += [pltpu.VMEM((max(tacc, 8), LANES),
@@ -986,8 +1127,8 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                            big_c0_static, compact_perm),
             grid=(iters,),
             in_specs=in_specs,
-            out_specs=(ospec, ospec) if DD else ospec,
-            out_shape=(oshape, oshape) if DD else oshape,
+            out_specs=(ospec, ospec) if DDK else ospec,
+            out_shape=(oshape, oshape) if DDK else oshape,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),
@@ -999,19 +1140,27 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
         call, operands, _ = build(arrays, iters)
         # operands list excludes x; insert it at its position
         full = []
-        n_lead = (4 if DD else 3) * n_streams
+        n_lead = sum(3 + (1 if DD and not dd_f32[si] else 0)
+                     for si in range(n_streams))
         full.extend(operands[:n_lead])
         if DD:
             full.append(x2d["hi"])
-            full.append(x2d["lo"])
+            if full_dd_any:
+                full.append(x2d["lo"])
         else:
             full.append(x2d)
         full.extend(operands[n_lead:])
         out = call(*full)
         if DD:
             from . import dd
-            yh = out[0].reshape(-1)[:meta.n_rows]
-            yl = out[1].reshape(-1)[:meta.n_rows].astype(jnp.float32)
+            if OGF32:
+                # og_f32: the kernel emits a single f32 y; lo enters
+                # only through the overflow correction below
+                yh = out.reshape(-1)[:meta.n_rows]
+                yl = jnp.zeros_like(yh)
+            else:
+                yh = out[0].reshape(-1)[:meta.n_rows]
+                yl = out[1].reshape(-1)[:meta.n_rows].astype(jnp.float32)
             if arrays["overflow"] is not None:
                 # mirror of the streamed dd overflow correction
                 # (pallas_backend._spmv_dd): per-row compensated tree

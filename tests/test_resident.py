@@ -244,3 +244,64 @@ def test_resident_output_not_in_vmem_budget():
     if res.get("rowsel") is not None:
         n += res["rowsel"].nbytes + res["lanesel"].nbytes
     assert base - n == 2 * 256 * 128 * 4 * 2   # staging only, no B_pad term
+
+
+def _hetero_csr(n=20000, split=10000, seed=6):
+    """Half banded 8-nnz rows + half scattered 16-nnz rows: packs into
+    MULTIPLE streams with distinct round counts (P=2/12/24 at this
+    scale), which the f32-colsum tier tests need (test-scale matrices
+    otherwise merge into one stream)."""
+    rng = np.random.default_rng(seed)
+    rows, cols = [], []
+    for r in range(n):
+        c = ((r + rng.integers(-60, 60, size=8)) % n if r < split
+             else rng.integers(0, n, size=16))
+        rows += [r] * len(c)
+        cols += list(c)
+    rows, cols = np.array(rows), np.array(cols)
+    vals = rng.standard_normal(rows.size)
+    key = rows.astype(np.int64) * n + cols
+    order = np.argsort(key)
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    keep = np.concatenate([[True], np.diff(key[order]) != 0])
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    rpt = np.zeros(n + 1, np.int64)
+    np.add.at(rpt, rows + 1, 1)
+    return CSRMatrix(n, n, np.cumsum(rpt).astype(np.int32),
+                     cols.astype(np.int32), vals)
+
+
+@pytest.mark.parametrize("p_thresh", [1, 12])
+def test_resident_dd_f32_colsum_tier(monkeypatch, p_thresh):
+    """The DD_F32_COLSUM tier inside the RESIDENT kernel: flagged
+    streams run plain-f32 colsum over the hi halves (their lo-value
+    operands are never shipped and their lo partials are implicit
+    zeros); downstream folds stay compensated dd.  p_thresh=1 flags
+    every stream (the x-lo operand and lo scratch halves are dropped
+    entirely); p_thresh=12 exercises the MIXED kernel (P=2 stream
+    all-dd alongside flagged P=12/24 streams).  Error contract:
+    ~2^-23 of row mass, inside main_f64.cu:8's 1e-5."""
+    from dasp_tpu.config import DaspConfig
+    from dasp_tpu.ops import dd
+    monkeypatch.setattr(pb, "DD_F32_FORCE", True)
+    monkeypatch.setattr(pb, "DD_F32_COLSUM_P", p_thresh)
+    csr = _hetero_csr()
+    op = pb.PallasSpMV(csr, "f64", DaspConfig(relabel="off"))
+    flags = op._meta.dd_f32
+    assert any(flags)
+    if p_thresh == 1:
+        assert all(flags)
+    else:
+        assert not all(flags), "p_thresh must split the streams"
+    assert op.resident
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(csr.n_cols)
+    golden = csr.spmv(x)
+    out = op.timing_loop(1)(op._prep_x(x))
+    y = op.perm_out(dd.to_f64(np.asarray(out["hi"]),
+                              np.asarray(out["lo"])))
+    scale = max(1.0, np.abs(golden).max())
+    np.testing.assert_allclose(y, golden, rtol=0, atol=1e-5 * scale)
+    # the budget accounting runs on the shipped arrays (device arrays
+    # expose .nbytes too) and must stay consistent with the tier
+    assert resident.resident_bytes(op._meta, op._arrays) > 0
