@@ -1,8 +1,9 @@
 """Multi-chip SpMV: row-slab partitioning over a 1-D device mesh.
 
 This capability is *new* relative to the reference (which is strictly
-single-GPU, SURVEY.md §2): rows are partitioned into contiguous slabs
-balanced by nnz, each chip owns its slab's packed plan, x is sharded by rows
+single-GPU, SURVEY.md §2): rows are partitioned into block-aligned strips
+dealt to chips nnz-balanced, each chip owns its strips' packed plan, x is
+sharded by rows
 and replicated on-chip via ``jax.lax.all_gather`` over the ICI mesh axis, and
 y needs no communication at all (a row partition makes outputs disjoint).
 
@@ -55,6 +56,62 @@ def slab_csr(csr: CSRMatrix, start: int, end: int) -> CSRMatrix:
     return CSRMatrix(end - start, csr.n_cols,
                      (csr.row_ptr[start:end + 1] - lo).copy(),
                      csr.col_idx[lo:hi].copy(), csr.values[lo:hi].copy())
+
+
+def partition_strips(csr: CSRMatrix, n_parts: int, align: int,
+                     strips_per_part: int = 8
+                     ) -> Tuple[List[List[Tuple[int, int]]], List[int]]:
+    """Strip-interleaved row partition: ``n_parts * strips_per_part``
+    block-aligned nnz-balanced contiguous strips, dealt to chips by
+    greedy longest-processing-time assignment.
+
+    Contiguous slabs of a skewed (power-law) matrix give every chip a
+    structurally DIFFERENT sub-matrix (hub rows cluster), so per-chip
+    packers quantize stream classes/widths differently and
+    ``harmonize_wplans``'s elementwise-max union pads ~2.2-2.6x (measured,
+    docs/DESIGN.md §7b).  Strips sample the whole row space ~uniformly:
+    each chip sees a statistically similar class mix, shrinking both the
+    class-key mismatch and the per-key slice-count spread — and LPT
+    yields a tighter nnz balance than contiguous splitting as a bonus.
+
+    Returns (per-chip sorted strip lists, per-chip nnz loads).  Strips
+    stay whole multiples of ``align`` rows (the pallas outgather needs
+    chip-local 128-row blocks)."""
+    raw = partition_rows(csr, n_parts * strips_per_part)
+    bounds = [0]
+    for _, e in raw[:-1]:
+        bounds.append(min(-(-e // align) * align, csr.n_rows))
+    bounds.append(csr.n_rows)
+    bounds = sorted(set(bounds))
+    ranges = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+    nnz_of = [int(csr.row_ptr[e] - csr.row_ptr[s]) for s, e in ranges]
+    order = sorted(range(len(ranges)), key=nnz_of.__getitem__, reverse=True)
+    loads = [0] * n_parts
+    assign: List[List[Tuple[int, int]]] = [[] for _ in range(n_parts)]
+    for i in order:
+        c = min(range(n_parts), key=loads.__getitem__)
+        assign[c].append(ranges[i])
+        loads[c] += nnz_of[i]
+    for strips in assign:
+        strips.sort()
+    return assign, loads
+
+
+def strips_csr(csr: CSRMatrix, strips: List[Tuple[int, int]]) -> CSRMatrix:
+    """Concatenate the given row ranges into one standalone CSR (rows in
+    strip order; full column space).  An empty strip list yields an
+    empty 0-row matrix (harmonize_wplans pads such chips)."""
+    if not strips:
+        return CSRMatrix(0, csr.n_cols, np.zeros(1, csr.row_ptr.dtype),
+                         csr.col_idx[:0].copy(), csr.values[:0].copy())
+    lens = np.concatenate([csr.row_lengths[s:e] for s, e in strips])
+    cols = np.concatenate([csr.col_idx[csr.row_ptr[s]:csr.row_ptr[e]]
+                           for s, e in strips])
+    vals = np.concatenate([csr.values[csr.row_ptr[s]:csr.row_ptr[e]]
+                           for s, e in strips])
+    rpt = np.zeros(lens.size + 1, dtype=csr.row_ptr.dtype)
+    np.cumsum(lens, out=rpt[1:])
+    return CSRMatrix(int(lens.size), csr.n_cols, rpt, cols, vals)
 
 
 def _pad_to(a: np.ndarray, shape, fill) -> np.ndarray:
@@ -278,22 +335,15 @@ class MultiChipSpMV:
         # keep slab-local row order (no independent length-grouping)
         config = _dc.replace(config, row_sort="off")
 
-        # contiguous slabs of whole 128-row blocks, nnz-balanced (block
-        # alignment keeps the pallas outgather blocks slab-local; it is
-        # harmless for the scatter executor)
+        # strip-interleaved partition of whole 128-row blocks (block
+        # alignment keeps the pallas outgather blocks chip-local; it is
+        # harmless for the scatter executor): every chip's sub-matrix
+        # samples the whole row space, so per-chip packers see similar
+        # class mixes and the harmonized union pads far less than
+        # contiguous slabs on skewed inputs (see partition_strips)
         from .wplan import LANES
-        raw = partition_rows(csr, self.n_devices)
-        bounds = [0]
-        for s, e in raw[:-1]:
-            bounds.append(min((-(-e // LANES)) * LANES, csr.n_rows))
-        bounds.append(csr.n_rows)
-        bounds = sorted(set(bounds))
-        while len(bounds) < self.n_devices + 1:
-            bounds.append(csr.n_rows)
-        self.slabs = [(bounds[i], bounds[i + 1])
-                      for i in range(self.n_devices)]
-        slab_nnz = [int(csr.row_ptr[e] - csr.row_ptr[s])
-                    for s, e in self.slabs]
+        self.strips, slab_nnz = partition_strips(csr, self.n_devices,
+                                                 LANES)
         self.stats["slab_nnz"] = slab_nnz
         self.stats["balance"] = (max(slab_nnz)
                                  / max(sum(slab_nnz) / len(slab_nnz), 1.0))
@@ -306,8 +356,8 @@ class MultiChipSpMV:
     # ---- per-chip lowering: portable scatter executor ----------------
     def _build_xla(self, csr: CSRMatrix, config: DaspConfig) -> None:
         metas, ts = [], []
-        for start, end in self.slabs:
-            plan = build_plan(slab_csr(csr, start, end), config)
+        for strips in self.strips:
+            plan = build_plan(strips_csr(csr, strips), config)
             m, t = plan_to_scatter_arrays(plan, self.dtype)
             metas.append(m)
             ts.append(t)
@@ -335,8 +385,25 @@ class MultiChipSpMV:
         from .wplan import (K_SOURCES, LANES, build_wplan, harmonize_wplans)
         from .ops import pallas_backend as pb
 
-        plans = [build_wplan(slab_csr(csr, s, e), config)
-                 for s, e in self.slabs]
+        from .wplan import merge_class_keys
+        chip_csrs = [strips_csr(csr, strips) for strips in self.strips]
+        plans = [build_wplan(c, config) for c in chip_csrs]
+        # Globally pinned class quantization: the per-chip stream-class
+        # merge is data-dependent, so chips land the same row populations
+        # in different (P, stride) keys and the harmonized union pads
+        # every chip for every other chip's keys.  Re-run the merge ONCE
+        # over the union of raw class masses and repack the chips whose
+        # own map disagrees with the global one.
+        union: dict = {}
+        for p in plans:
+            for cls, stride, mass in p.stats["key_mass"]:
+                union[(cls, stride)] = union.get((cls, stride), 0) + mass
+        gmap = merge_class_keys(union)
+        for d, p in enumerate(plans):
+            own = {tuple(k): tuple(v) for k, v in p.stats["class_map"]}
+            if any(gmap.get(k, k) != own[k] for k in own):
+                plans[d] = build_wplan(chip_csrs[d], config,
+                                       pin_classes=gmap)
         self.overflows = [p.overflow for p in plans]
         real_vregs = [sum(s.n_vregs for s in p.streams) for p in plans]
         plans = harmonize_wplans(plans)
@@ -424,12 +491,16 @@ class MultiChipSpMV:
             xr = np.empty(self.n_cols, dtype=x_rel.dtype)
             xr[self.col_perm] = x_rel[:self.n_cols]
             x_rel = xr
-        for d, (start, end) in enumerate(self.slabs):
+        for d, strips in enumerate(self.strips):
             part = y[d, 0] + y[d, 1] if self.dtype == F64 else y[d]
-            out[start:end] = part[:end - start]
             ovf = self.overflows[d]
-            if ovf is not None:
-                out[start:end] += ovf.spmv(x_rel)[:end - start]
+            ovf_y = ovf.spmv(x_rel) if ovf is not None else None
+            off = 0
+            for start, end in strips:
+                out[start:end] = part[off:off + end - start]
+                if ovf_y is not None:
+                    out[start:end] += ovf_y[off:off + end - start]
+                off += end - start
         if self.row_perm is not None:
             out = out[self.row_perm]
         return out

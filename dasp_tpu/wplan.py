@@ -380,6 +380,81 @@ def _p_class(p_used: int, p_cap: int) -> int:
     return p_cap
 
 
+def merge_class_keys(key_mass: Dict[Tuple[int, int], int]
+                     ) -> Dict[Tuple[int, int], Tuple[int, int]]:
+    """Merge small (P-class, stride) stream keys into bigger ones.
+
+    Each stream is one kernel launch whose fixed cost (pipeline ramp on a
+    2-3-step grid) measures ~6 us = the streaming time of ~320 vregs.  A
+    small class therefore rides along with a bigger one when the merge
+    tax -- extra masked rounds for the lower-P side (measured 1.8
+    cycles/vreg/round ~ 0.17 vreg-equivalents) and extra per-level output
+    rows when strides mix (the stream runs at the MINIMUM stride; coarser
+    segments' level sums are rebuilt in XLA glue by pairwise row adds,
+    ~0.083 vreg-equivalents per extra row) -- stays under that fixed
+    cost.  Never merges across the static/dynamic kernel boundary.
+    FIXED_EQ started at 320 (the standalone ~6us fixed cost of a small
+    stream) but XLA overlaps adjacent colsum launches, so the realized
+    saving is smaller: 320 merged a P=6 class into scircuit's stride-2
+    pool and LOST 6%; 120 keeps only the cheap merges (cop20k +6%).
+
+    Factored out of build_wplan so the multi-chip builder can run it ONCE
+    over the union of all chips' key masses (globally pinned class
+    quantization; see ``pin_classes``)."""
+    ROUND_EQ, ROW_EQ, FIXED_EQ = 0.17, 0.083, 120.0
+    final_key: Dict[Tuple[int, int], Tuple[int, int]] = {
+        k: k for k in key_mass}
+
+    def _members(root):
+        return [k for k, v in final_key.items() if v == root]
+
+    # A root's vreg total is always recomputed from its current members
+    # (an earlier version kept running totals, which went stale when a
+    # merge's new_root coincided with a key previously merged elsewhere:
+    # re-pointing that key moved its packets but not its credited mass).
+    def _mass(root):
+        return sum(key_mass.get(k, 0) for k in _members(root))
+
+    changed = True
+    while changed:
+        changed = False
+        roots = sorted({v for v in final_key.values()},
+                       key=lambda k: (_mass(k), k))
+        masses = {r: _mass(r) for r in roots}
+        for c in roots:
+            vc = masses[c]
+            best = None
+            for t in roots:
+                if t == c or masses[t] < vc:
+                    continue
+                if (c[0] <= P_CLASSES[-1]) != (t[0] <= P_CLASSES[-1]):
+                    continue
+                P_new = max(c[0], t[0])
+                s_new = min(c[1], t[1])
+                cost = (vc * (P_new - c[0]) * ROUND_EQ
+                        + masses[t] * (P_new - t[0]) * ROUND_EQ
+                        + vc * (SUB // s_new - SUB // c[1]) * ROW_EQ
+                        + masses[t] * (SUB // s_new - SUB // t[1])
+                        * ROW_EQ)
+                if cost < FIXED_EQ and (best is None or cost < best[0]):
+                    best = (cost, t)
+            if best is not None:
+                t = best[1]
+                new_root = (max(c[0], t[0]), min(c[1], t[1]))
+                for k in _members(c) + _members(t):
+                    final_key[k] = new_root
+                final_key.setdefault(new_root, new_root)
+                key_mass.setdefault(new_root, 0)
+                # If key new_root had been merged into a third root X, it
+                # becomes a root again here; X keeps its other members and
+                # both masses stay exact via _mass recomputation (packets
+                # of key new_root are class/stride-exact in either stream).
+                final_key[new_root] = new_root
+                changed = True
+                break
+    return final_key
+
+
 def _choose_w8(slens: np.ndarray, threshold: float) -> int:
     w8 = W8_CLASSES[0]
     for c in W8_CLASSES:
@@ -391,7 +466,10 @@ def _choose_w8(slens: np.ndarray, threshold: float) -> int:
 
 @gc_paused
 def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
-                p_cap: int = 32, sym_ok: bool = True) -> WPlan:
+                p_cap: int = 32, sym_ok: bool = True,
+                pin_classes: Optional[Dict[Tuple[int, int],
+                                           Tuple[int, int]]] = None
+                ) -> WPlan:
     # sym_ok=False forbids the symmetric relabel even for square inputs
     # (column-slab sub-matrices must all keep original row order so their
     # partial y's sum).
@@ -1390,75 +1468,21 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
 
     _pt('assembly')
     # ---- assembly --------------------------------------------------------
-    # Merge small streams: each stream is one kernel launch whose fixed
-    # cost (pipeline ramp on a 2-3-step grid) measures ~6 us = the
-    # streaming time of ~320 vregs.  A small class therefore rides along
-    # with a bigger one when the merge tax -- extra masked rounds for the
-    # lower-P side (measured 1.8 cycles/vreg/round ~ 0.17 vreg-equivalents)
-    # and extra per-level output rows when strides mix (the stream runs at
-    # the MINIMUM stride; coarser-stride members' level sums are rebuilt
-    # in XLA glue by pairwise row adds, costing only output bandwidth,
-    # ~0.083 vreg-equivalents per extra row) -- stays under that fixed
-    # cost.  Never merges across the static/dynamic kernel boundary.
-    # FIXED_EQ started at 320 (the standalone ~6us fixed cost of a small
-    # stream) but XLA overlaps adjacent colsum launches, so the realized
-    # saving is smaller: 320 merged a P=6 class into scircuit's stride-2
-    # pool and LOST 6%; 120 keeps only the cheap merges (cop20k +6%).
-    ROUND_EQ, ROW_EQ, FIXED_EQ = 0.17, 0.083, 120.0
     key_mass: Dict[Tuple[int, int], int] = {}     # (cls, stride) -> vregs
     for q in packets:
         key = (q.cls, q.stride)
         key_mass[key] = key_mass.get(key, 0) + q.w8
-    final_key: Dict[Tuple[int, int], Tuple[int, int]] = {
-        k: k for k in key_mass}
-
-    def _members(root):
-        return [k for k, v in final_key.items() if v == root]
-
-    # A root's vreg total is always recomputed from its current members
-    # (an earlier version kept running totals, which went stale when a
-    # merge's new_root coincided with a key previously merged elsewhere:
-    # re-pointing that key moved its packets but not its credited mass).
-    def _mass(root):
-        return sum(key_mass.get(k, 0) for k in _members(root))
-
-    changed = True
-    while changed:
-        changed = False
-        roots = sorted({v for v in final_key.values()},
-                       key=lambda k: (_mass(k), k))
-        masses = {r: _mass(r) for r in roots}
-        for c in roots:
-            vc = masses[c]
-            best = None
-            for t in roots:
-                if t == c or masses[t] < vc:
-                    continue
-                if (c[0] <= P_CLASSES[-1]) != (t[0] <= P_CLASSES[-1]):
-                    continue
-                P_new = max(c[0], t[0])
-                s_new = min(c[1], t[1])
-                cost = (vc * (P_new - c[0]) * ROUND_EQ
-                        + masses[t] * (P_new - t[0]) * ROUND_EQ
-                        + vc * (SUB // s_new - SUB // c[1]) * ROW_EQ
-                        + masses[t] * (SUB // s_new - SUB // t[1])
-                        * ROW_EQ)
-                if cost < FIXED_EQ and (best is None or cost < best[0]):
-                    best = (cost, t)
-            if best is not None:
-                t = best[1]
-                new_root = (max(c[0], t[0]), min(c[1], t[1]))
-                for k in _members(c) + _members(t):
-                    final_key[k] = new_root
-                final_key.setdefault(new_root, new_root)
-                key_mass.setdefault(new_root, 0)
-                # If key new_root had been merged into a third root X, it
-                # becomes a root again here; X keeps its other members and
-                # both masses stay exact via _mass recomputation (packets
-                # of key new_root are class/stride-exact in either stream).
-                final_key[new_root] = new_root
-                changed = True
-                break
+    if pin_classes is not None:
+        # Globally pinned class quantization (multi-chip): the merge
+        # decisions below are data-dependent, so independently packed row
+        # slabs land the same row populations in DIFFERENT (P, stride)
+        # stream keys and harmonize_wplans' elementwise-max union pads
+        # heavily.  The multi-chip builder computes ONE merge map from
+        # the union of all chips' raw key masses and repacks divergent
+        # chips with it pinned here.
+        final_key = {k: pin_classes.get(k, k) for k in key_mass}
+    else:
+        final_key = merge_class_keys(key_mass)
 
     _pt('asm_merge')
     key_list = sorted({final_key[(p.cls, p.stride)] for p in packets})
@@ -1747,6 +1771,14 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             int(kind_nnz[2] + kind_nnz[3])
             + sum(v.size for _, v in frags.values())
             + (int(orows.size) if ovf_r else 0)),
+        # raw (pre-merge) class masses + the applied merge map, as
+        # JSON-able lists: the multi-chip builder unions chips' raw
+        # masses into ONE global merge map and repacks divergent chips
+        # with it pinned (see pin_classes / merge_class_keys)
+        "key_mass": [[int(k[0]), int(k[1]), int(v)]
+                     for k, v in sorted(key_mass.items())],
+        "class_map": [[list(k), list(v)]
+                      for k, v in sorted(final_key.items())],
     }
     _pt('census')
     plan = WPlan(

@@ -98,14 +98,15 @@ def test_multichip_scale_balance_and_padding(rng):
     assert op.stats["balance"] <= 1.5, op.stats
     real = sum(op.stats["real_vregs"])
     pad = sum(op.stats["pad_vregs"])
-    # Measured baseline on this input: ~2.2x with power-of-two widths,
-    # ~2.6x after the round-3 intermediate W8 classes (per-chip packers
-    # quantize stream classes/widths independently, so the harmonized
-    # union pads heavily on skewed slabs; more width classes = more
-    # divergence).  The bound catches blowups beyond the known cost;
-    # reducing it needs globally pinned class quantization
-    # (docs/DESIGN.md §7 agenda).
-    assert pad <= 2.8 * real, (pad, real)
+    # Measured history on this input class: ~2.2-2.6x with contiguous
+    # nnz-balanced slabs (per-chip packers quantized stream classes and
+    # widths independently, so the harmonized union padded every chip
+    # for every other chip's keys).  Strip-interleaved partitioning
+    # (partition_strips) plus the globally pinned class-merge map
+    # (merge_class_keys over the union of raw masses, repack with
+    # pin_classes) measured 0.46x on this input.  Bound with headroom
+    # for generator drift.
+    assert pad <= 0.9 * real, (pad, real)
     x = rng.standard_normal(csr.n_cols)
     golden = csr.spmv(x)
     # Condition-aware scale: the 100k-nnz hub row's dot product cancels
