@@ -356,6 +356,163 @@ def _route_vreg(lane: np.ndarray, ipref: np.ndarray, col: np.ndarray,
     return vals_tile, idx_tile, win_list, overflow
 
 
+def _deal_windows(sid, col, row, vl0, w8, n_sids):
+    """Window-aligned element dealing for stride-8 SELL slices.
+
+    Position dealing (``k // c``) mixes x windows across a slice's
+    vregs: chunk j of row A and chunk j of row B hold different
+    1024-aligned windows, so every vreg's window union — and with it
+    the gather round count P — approaches the *whole block's* window
+    footprint (measured 7.6 rounds/vreg on the assembled poisson3d
+    operator, whose footprint of 10.4 windows/block divided by the
+    width is 3.5).  Round count is what the colsum kernel pays per
+    vreg: the P-round cost is VPU compute, not DMA (DESIGN.md §2), so
+    fewer rounds is directly runtime.
+
+    Here each slice instead assigns WHOLE windows to chunks (vregs) by
+    a block-shared mass-midpoint map, so chunk j holds a contiguous
+    mass-balanced run of the block's windows and every row's chunk-j
+    elements come from the same few windows.  Windows too heavy for
+    one chunk — more mass than a balanced share, or more than SUB
+    elements of one row (a lane has SUB sublane slots per vreg) —
+    split elementwise at the same cuts.  Rows the shared map would
+    still overfill (their own mass distribution deviates too far from
+    the block's) fall back to position dealing for that row only:
+    measured on poisson3d, cascading their excess forward instead
+    costs +1.4 distinct windows per vreg, and letting them reject
+    costs a doubled-width retry (+36% vregs).
+
+    Returns ``(vreg_local, ipref, take)``: per-element chunk and
+    sublane preference (parallel to the inputs; only meaningful for
+    elements of taken slices), and ``take[sid]`` True where this
+    dealing strictly reduces the slice's total round count vs the
+    position dealing described by ``vl0``.  The caller merges with its
+    defaults via ``take[sid]`` per element.
+
+    The reference has no analog: its per-thread loads gather x at any
+    address (``dasp_f64.h:112``); window locality is a TPU-only cost.
+    """
+    n = sid.size
+    take = np.zeros(n_sids, dtype=bool)
+    ipref0 = np.zeros(n, dtype=np.int64)
+    if n < 2:
+        return vl0, ipref0, take
+    win = (col // VREG).astype(np.int64)
+    sid = sid.astype(np.int64)
+    # bit budget for the fused radix keys
+    sb = max(int(sid.max()), 1).bit_length()
+    wb = max(int(win.max()), 1).bit_length()
+    if sb + wb + 15 > 62 or int(w8.max()) > 64:
+        return vl0, ipref0, take
+    idx = np.arange(n)
+    w8 = w8.astype(np.int64)
+    # (row, window) groups are contiguous runs in the original order
+    # (row-major elements, columns ascending within a row)
+    newr = np.empty(n, dtype=bool)
+    newr[0] = True
+    newr[1:] = row[1:] != row[:-1]
+    newg = newr.copy()
+    newg[1:] |= win[1:] != win[:-1]
+    k_rw = idx - np.maximum.accumulate(np.where(newg, idx, 0))
+    if int(k_rw.max()) > 255:
+        return vl0, ipref0, take
+    k_row = idx - np.maximum.accumulate(np.where(newr, idx, 0))
+    rend_idx = np.flatnonzero(np.append(newr[1:], True))
+    row_len = (k_row[rend_idx] + 1)[np.searchsorted(rend_idx, idx)]
+    rid = np.cumsum(newr) - 1
+    # ---- block-shared map: sort by (sid, win, rank-in-(row,win), lane)
+    # so (sid, win) groups are contiguous and round-robin across rows
+    lane = (row % LANES).astype(np.int64)
+    key = ((((sid << wb) | win) << 8) | k_rw) << 7 | lane
+    o = np.argsort(key, kind="stable")
+    sid_s, win_s, w8_s = sid[o], win[o], w8[o]
+    gch = np.empty(n, dtype=bool)
+    gch[0] = True
+    gch[1:] = (sid_s[1:] != sid_s[:-1]) | (win_s[1:] != win_s[:-1])
+    gi = np.cumsum(gch) - 1
+    ng = int(gi[-1]) + 1
+    mass = np.bincount(gi, minlength=ng).astype(np.int64)
+    gsid = sid_s[gch]
+    gw8 = w8_s[gch]
+    tot_sid = np.bincount(gsid, weights=mass,
+                          minlength=n_sids).astype(np.int64)
+    cum = np.cumsum(mass) - mass
+    sch = np.empty(ng, dtype=bool)
+    sch[0] = True
+    sch[1:] = gsid[1:] != gsid[:-1]
+    sid_start = np.maximum.accumulate(np.where(sch, cum, 0))
+    cumb = cum - sid_start                    # mass before group, in-sid
+    tot_g = np.maximum(tot_sid[gsid], 1)
+    wchunk = (2 * cumb + mass) * gw8 // (2 * tot_g)   # midpoint cut
+    # a group sorted by k_rw ends at its max per-row count
+    gend = np.append(gch[1:], True)
+    maxk = k_rw[o][gend][gi]                  # broadcast group max
+    heavy = (mass[gi] * gw8[gi] > tot_g[gi]) | (maxk >= SUB)
+    rank_g = idx - np.maximum.accumulate(np.where(gch, idx, 0))
+    ce_s = wchunk[gi]
+    if heavy.any():
+        ce_s = ce_s.copy()
+        ce_s[heavy] = ((cumb[gi][heavy] + rank_g[heavy]) * w8_s[heavy]
+                       // tot_g[gi][heavy])
+    ce_s = np.minimum(np.maximum(ce_s, 0), w8_s - 1)
+    ce = np.empty(n, dtype=np.int64)
+    ce[o] = ce_s
+    # ---- per-row feasibility: a lane has SUB sublane slots per vreg,
+    # so a chunk holding > SUB of one row's elements must shed the
+    # excess.  ce is nondecreasing within a row — windows ascend with
+    # columns and both cuts are monotone — so (row, chunk) runs are
+    # contiguous and ranks come from scans.  Excess cascades FORWARD
+    # (the run's tail is the chunk's boundary window, and every row
+    # sheds the same window into the same next chunk, so the receiving
+    # vreg gains ~one distinct window), then BACKWARD for rows whose
+    # last chunk is overfull (mass-midpoint skew).  Cascading instead
+    # of rejecting matters: rejects beyond a slice's 5% budget retry
+    # it at doubled width (+36% vregs measured on poisson3d).
+    # forward wave to fixpoint (run tails — the chunk's boundary
+    # window — climb), then a pure downward wave for runs stuck at the
+    # cap (their heads — the run's lowest windows — descend).  Mixing
+    # the directions ping-pongs the same elements and smears windows
+    # across chunks: measured 6.8 rounds/vreg interleaved vs 5.3
+    # forward-only on poisson3d.
+    pos = ipref0
+    for _ in range(36):
+        nrc = newr.copy()
+        nrc[1:] |= ce[1:] != ce[:-1]
+        pos = idx - np.maximum.accumulate(np.where(nrc, idx, 0))
+        over_f = (pos >= SUB) & (ce < w8 - 1)
+        if not over_f.any():
+            break
+        ce[over_f] += 1
+    for _ in range(36):
+        cend_idx = np.flatnonzero(np.append(nrc[1:], True))
+        rpos = (pos[cend_idx])[np.searchsorted(cend_idx, idx)] - pos
+        over_b = (rpos >= SUB) & (ce > 0)
+        if not over_b.any():
+            break
+        ce[over_b] -= 1
+        nrc = newr.copy()
+        nrc[1:] |= ce[1:] != ce[:-1]
+        pos = idx - np.maximum.accumulate(np.where(nrc, idx, 0))
+    # ---- gate per sid: total rounds (distinct (chunk, window) pairs)
+    # must strictly drop vs position dealing
+    key1 = (((sid << 6) | ce) << wb) | win
+    k1s = np.sort(key1)
+    b1 = np.empty(n, dtype=bool)
+    b1[0] = True
+    b1[1:] = k1s[1:] != k1s[:-1]
+    new_rounds = np.bincount(k1s[b1] >> (wb + 6), minlength=n_sids)
+    key0 = (((sid << 6) | vl0.astype(np.int64)) << wb) | win
+    k0s = np.sort(key0)
+    b0 = np.empty(n, dtype=bool)
+    b0[0] = True
+    b0[1:] = k0s[1:] != k0s[:-1]
+    cur_rounds = np.bincount(k0s[b0] >> (wb + 6), minlength=n_sids)
+    take = new_rounds < cur_rounds
+    # pos >= SUB cannot fit the lane; keep a valid preference and let
+    # the router reject to the rem slices (rare by construction).
+    return ce, pos % SUB, take
+
+
 # ---------------------------------------------------------------------------
 # Builder
 # ---------------------------------------------------------------------------
@@ -599,6 +756,31 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         # choice would (its spills are genuine tails, handled by frags).
         SPILL_W = 8.0
         STRIDE_MARGIN = float(_os.environ.get("DASP_STRIDE_MARGIN", "0.8"))
+        # Round-aware cost model (DASP_COST_MODEL=ns): price the gather
+        # rounds the slice will pay at run time, not just its slots.
+        # Per block, a (stride, w8) choice costs w8*s/8 vregs and —
+        # under window-aligned dealing (_deal_windows) — about
+        # nw_slice/w8 + 1 rounds per vreg, where nw_slice is the
+        # window footprint of the 8/s blocks sharing the slice.
+        # Calibrated on v5e resident-mode arms (poisson3d + cop20k
+        # back-solve): ~6.9 ns per vreg (loads, extraction, sublane
+        # sums) + ~2.5 ns per unrolled round (two gathers + select +
+        # tree add).  The classic model prices fill only; it picks
+        # w8=3 for the FEM blocks where the footprint (10.4 windows)
+        # makes w8=4+ strictly faster despite 33% more slots.
+        COST_NS = _os.environ.get("DASP_COST_MODEL", "slots") == "ns"
+        NS_A, NS_B = 6.94, 2.49
+        nw_b = None
+        if COST_NS:
+            # distinct 1024-windows per block over sellable elements
+            wbits = max(int(csr.n_cols - 1) // VREG, 1).bit_length()
+            er = np.repeat(np.arange(n), lens)
+            em = sellable[er]
+            bw_key = (blk[er[em]].astype(np.int64) << wbits) | \
+                (cols_all[np.flatnonzero(em)] >> 10)
+            bw_key = np.unique(bw_key)
+            nw_b = np.bincount((bw_key >> wbits), minlength=B).astype(
+                np.int64) if bw_key.size else np.zeros(B, np.int64)
         best_cost = None
         s_choice = np.full(B, SUB, dtype=np.int64)
         w8_choice = np.full(B, W8_CLASSES[0], dtype=np.int64)
@@ -613,8 +795,16 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             # the same knee, but it can stop at the intermediate widths
             # the occupancy ladder skipped).
             covs = np.stack([_coverage(s * c) for c in W8_CLASSES])
-            costs = (LANES * s * w8_arr[:, None]
-                     + SPILL_W * (nnz_sell_b[None] - covs))
+            if COST_NS:
+                # ns estimate per block: vregs + rounds + spill
+                nw_slice = np.minimum(nw_b[None] * (SUB // s), 32)
+                costs = (NS_A / VREG * LANES * s * w8_arr[:, None]
+                         + NS_B * (s / SUB) * (nw_slice + w8_arr[:, None])
+                         + NS_A / VREG * SPILL_W
+                         * (nnz_sell_b[None] - covs))
+            else:
+                costs = (LANES * s * w8_arr[:, None]
+                         + SPILL_W * (nnz_sell_b[None] - covs))
             ci = np.argmin(costs, axis=0)
             w8_s = w8_arr[ci]
             cover = np.take_along_axis(covs, ci[None], 0)[0]
@@ -734,6 +924,22 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             erow = np.repeat(rows_sell, reg)
             ecol = cols_all[eidx2]
             eval_ = vals_all[eidx2]
+            # Window-aligned dealing for stride-8 slices (see
+            # _deal_windows): cuts gather rounds where the block's
+            # window footprint per vreg exceeds footprint/width.
+            if tot and _os.environ.get("DASP_WINDOW_DEAL", "auto") != "off":
+                s_rep = np.repeat(s_row, reg)
+                m8 = s_rep == SUB
+                if m8.any():
+                    esid8 = sid_of_block[blk[erow[m8]]]
+                    wvl, wip, wtake = _deal_windows(
+                        esid8, ecol[m8], erow[m8], vreg_local[m8],
+                        np.repeat(w8_row, reg)[m8], len(slices))
+                    if wtake.any():
+                        tk = wtake[esid8]
+                        mi = np.flatnonzero(m8)[tk]
+                        vreg_id[mi] += wvl[tk] - vreg_local[mi]
+                        ipref[mi] = wip[tk]
             o2 = np.argsort(vreg_id, kind="stable")
             offsets = np.zeros(total_vregs + 1, dtype=np.int64)
             np.cumsum(np.bincount(vreg_id[o2], minlength=total_vregs),
