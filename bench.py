@@ -44,7 +44,7 @@ BCOO_RISK_NNZ = 19_000_000
 # v2: W8_CLASSES intermediate widths + cost-argmin width selection
 # v3: stride-switch margin (narrower strides must win by >20% — hidden
 #     P-cost; same-window scircuit f32 A/B v2 37-39 vs v3 42-43 GF)
-PLAN_CACHE_VER = 3
+PLAN_CACHE_VER = 4   # v4: round tag moved from slot to cell bits (wplan.py)
 
 
 class _Summary:

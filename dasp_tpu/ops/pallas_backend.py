@@ -94,24 +94,25 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool,
                 else:
                     # static round unroll: a dynamic (while) loop would
                     # serialize the vector pipeline; fine-grained P classes
-                    # keep the padding small instead.  Rounds combine by a
-                    # masked-sum TREE (each slot matches exactly one
-                    # round), not a select chain: the chain is a P-deep
-                    # serial dependency while the tree is log2(P) and the
-                    # per-round gathers pipeline freely.
-                    rnd = jax.lax.shift_right_logical(idx, 10)
+                    # keep the padding small instead.  The round tag is
+                    # CELL data (wplan: one cell = one x word = one
+                    # window), so rounds combine BEFORE the lane gather by
+                    # a masked-sum TREE over the sublane-gathered windows
+                    # — one compare+select per round, the expensive lane
+                    # gather runs once per vreg (1.82 -> 0.89 ns/vreg/
+                    # round measured, tools/roundcost_ab.py).
+                    crnd = jax.lax.shift_right_logical(idx, 10)
                     terms = []
                     for p in range(P):
                         w = pl.multiple_of(win_ref[v, 1 + p], SUB)
                         xw = x_ref[pl.ds(w, SUB), :]
-                        gp = jnp.take_along_axis(xw, q, axis=0)
-                        gp = jnp.take_along_axis(gp, lam, axis=1)
-                        terms.append(jnp.where(rnd == p, gp, 0.0))
+                        sp = jnp.take_along_axis(xw, q, axis=0)
+                        terms.append(jnp.where(crnd == p, sp, 0.0))
                     while len(terms) > 1:
                         terms = [terms[i] + terms[i + 1]
                                  if i + 1 < len(terms) else terms[i]
                                  for i in range(0, len(terms), 2)]
-                    g = terms[0]
+                    g = jnp.take_along_axis(terms[0], lam, axis=1)
                 prod = vals.astype(jnp.float32) * g
                 for L in range(R):
                     parts.append(jnp.sum(
@@ -178,8 +179,8 @@ def _make_colsum_multi(P: int, S: int, NV: int, interpret: bool,
                 lam = jax.lax.bitwise_and(idx, 127)
                 q = jax.lax.bitwise_and(
                     jax.lax.shift_right_logical(idx, 7), 7)
-                rnd = (jax.lax.shift_right_logical(idx, 10)
-                       if P > 1 else None)
+                crnd = (jax.lax.shift_right_logical(idx, 10)
+                        if P > 1 else None)
                 for j in range(kv):
                     if P == 1:
                         w = pl.multiple_of(win_ref[v, 1], SUB)
@@ -187,18 +188,19 @@ def _make_colsum_multi(P: int, S: int, NV: int, interpret: bool,
                         g = jnp.take_along_axis(xw, q, axis=0)
                         g = jnp.take_along_axis(g, lam, axis=1)
                     else:
+                        # per-cell round select before the lane gather
+                        # (see _make_colsum)
                         terms = []
                         for p in range(P):
                             w = pl.multiple_of(win_ref[v, 1 + p], SUB)
                             xw = x_ref[pl.ds(j * S + w, SUB), :]
-                            gp = jnp.take_along_axis(xw, q, axis=0)
-                            gp = jnp.take_along_axis(gp, lam, axis=1)
-                            terms.append(jnp.where(rnd == p, gp, 0.0))
+                            sp = jnp.take_along_axis(xw, q, axis=0)
+                            terms.append(jnp.where(crnd == p, sp, 0.0))
                         while len(terms) > 1:
                             terms = [terms[i] + terms[i + 1]
                                      if i + 1 < len(terms) else terms[i]
                                      for i in range(0, len(terms), 2)]
-                        g = terms[0]
+                        g = jnp.take_along_axis(terms[0], lam, axis=1)
                     prod = vals * g
                     for L in range(R):
                         parts[j].append(jnp.sum(
@@ -238,12 +240,10 @@ BV_DYN = 8       # vregs per dynamic-round grid step
 # stream from HBM every iteration) store the lo value stream as bf16
 DD_LO16_MIN_BYTES = int(os.environ.get("DASP_DD_LO16_MIN",
                                        96 * 1024 * 1024))
-# Probe knob: streams with P >= this drop the x-LO gather in the dd colsum
-# (x read at f32; the value stream stays dd).  Halves the per-round gather
-# work on round-bound power-law plans at ~6e-8 relative input-rounding
-# error — far inside the reference's 1e-5 contract (main_f64.cu:8), but
-# OFF by default (0) pending a measured win; see docs/DESIGN.md.
-DD_XLO_DROP_P = int(os.environ.get("DASP_DD_XLO_DROP_P", "0"))
+# (The round-2 DASP_DD_XLO_DROP_P probe — drop the x-lo gather on high-P
+# dd streams — was deleted after measuring only +5% streamed: the dd VPU
+# EFT chains, not the gathers, bound round-heavy dd streams, and the
+# per-cell round select now removes the per-round lane gathers anyway.)
 # Big-streamed-plan tier (same gate as the bf16-lo store): dd streams with
 # P >= this run their COLSUM in plain f32 (hi values x hi x, single
 # rounding per product); every downstream reduction stays compensated dd,
@@ -276,18 +276,18 @@ def _make_colsum_dyn(P: int, S: int, NV: int, interpret: bool):
             vals = vals_ref[pl.ds(v * SUB, SUB), :]
             lam = jax.lax.bitwise_and(idx, 127)
             q = jax.lax.bitwise_and(jax.lax.shift_right_logical(idx, 7), 7)
-            rnd = jax.lax.shift_right_logical(idx, 10)
+            crnd = jax.lax.shift_right_logical(idx, 10)
 
             def rbody(p, acc):
                 w = pl.multiple_of(win_ref[v, 1 + p], SUB)
                 xw = x_ref[pl.ds(w, SUB), :]
-                gp = jnp.take_along_axis(xw, q, axis=0)
-                gp = jnp.take_along_axis(gp, lam, axis=1)
-                return acc + jnp.where(rnd == p, gp, 0.0)
+                sp = jnp.take_along_axis(xw, q, axis=0)
+                return acc + jnp.where(crnd == p, sp, 0.0)
 
-            g = jax.lax.fori_loop(
+            xsel = jax.lax.fori_loop(
                 0, win_ref[v, 0], rbody,
                 jnp.zeros((SUB, LANES), jnp.float32))
+            g = jnp.take_along_axis(xsel, lam, axis=1)
             prod = vals.astype(jnp.float32) * g
             parts.append(jnp.sum(prod, axis=0, keepdims=True))
         out_ref[...] = jnp.concatenate(parts, 0)
@@ -329,24 +329,21 @@ def _make_colsum_dyn_dd(P: int, S: int, NV: int, interpret: bool):
             vl = vl_ref[pl.ds(v * SUB, SUB), :].astype(jnp.float32)
             lam = jax.lax.bitwise_and(idx, 127)
             q = jax.lax.bitwise_and(jax.lax.shift_right_logical(idx, 7), 7)
-            rnd = jax.lax.shift_right_logical(idx, 10)
-
-            drop_lo = DD_XLO_DROP_P and P >= DD_XLO_DROP_P
+            crnd = jax.lax.shift_right_logical(idx, 10)
 
             def rbody(p, acc):
                 ah, al = acc
                 w = pl.multiple_of(win_ref[v, 1 + p], SUB)
-                gh = jnp.take_along_axis(xh_ref[pl.ds(w, SUB), :], q, axis=0)
-                gh = jnp.take_along_axis(gh, lam, axis=1)
-                sel = rnd == p
-                if drop_lo:     # see DD_XLO_DROP_P
-                    return (jnp.where(sel, gh, ah), al)
-                gl = jnp.take_along_axis(xl_ref[pl.ds(w, SUB), :], q, axis=0)
-                gl = jnp.take_along_axis(gl, lam, axis=1)
-                return (jnp.where(sel, gh, ah), jnp.where(sel, gl, al))
+                sel = crnd == p
+                sh = jnp.take_along_axis(xh_ref[pl.ds(w, SUB), :], q, axis=0)
+                sl = jnp.take_along_axis(xl_ref[pl.ds(w, SUB), :], q, axis=0)
+                return (jnp.where(sel, sh, ah), jnp.where(sel, sl, al))
 
             zero = jnp.zeros((SUB, LANES), jnp.float32)
-            gh, gl = jax.lax.fori_loop(0, win_ref[v, 0], rbody, (zero, zero))
+            xh_sel, xl_sel = jax.lax.fori_loop(0, win_ref[v, 0], rbody,
+                                               (zero, zero))
+            gh = jnp.take_along_axis(xh_sel, lam, axis=1)
+            gl = jnp.take_along_axis(xl_sel, lam, axis=1)
             ph, plo = dd.mul(vh, vl, gh, gl)
             sh, sl = dd.sum_axis(ph, plo, 0)
             parts_h.append(sh[None])
@@ -409,35 +406,36 @@ def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool,
                 q = jax.lax.bitwise_and(
                     jax.lax.shift_right_logical(idx, 7), 7)
 
-                drop_lo = DD_XLO_DROP_P and P >= DD_XLO_DROP_P
-
-                def gather_pair(p):
+                def spair(p):
+                    # sublane-gathered window pair (pre lane gather)
                     w = pl.multiple_of(win_ref[v, 1 + p], SUB)
-                    gh = xh_ref[pl.ds(w, SUB), :]
-                    gh = jnp.take_along_axis(gh, q, axis=0)
-                    gh = jnp.take_along_axis(gh, lam, axis=1)
-                    if drop_lo:
-                        return gh, None
-                    gl = xl_ref[pl.ds(w, SUB), :]
-                    gl = jnp.take_along_axis(gl, q, axis=0)
-                    gl = jnp.take_along_axis(gl, lam, axis=1)
-                    return gh, gl
+                    sh = jnp.take_along_axis(xh_ref[pl.ds(w, SUB), :],
+                                             q, axis=0)
+                    sl = jnp.take_along_axis(xl_ref[pl.ds(w, SUB), :],
+                                             q, axis=0)
+                    return sh, sl
 
                 if P == 1:
-                    gh, gl = gather_pair(0)
+                    sh, sl = spair(0)
                 else:
-                    rnd = jax.lax.shift_right_logical(idx, 10)
-                    gh = gl = None
+                    # per-cell round select before the one lane gather
+                    # (see _make_colsum; the dd path saves TWO lane
+                    # gathers per round)
+                    crnd = jax.lax.shift_right_logical(idx, 10)
+                    th, tl = [], []
                     for p in range(P):
-                        ph, plo = gather_pair(p)
-                        if gh is None:
-                            gh, gl = ph, plo
-                        else:
-                            gh = jnp.where(rnd == p, ph, gh)
-                            if not drop_lo:
-                                gl = jnp.where(rnd == p, plo, gl)
-                if drop_lo:
-                    gl = jnp.zeros_like(gh)
+                        ph_, pl_ = spair(p)
+                        sel = crnd == p
+                        th.append(jnp.where(sel, ph_, 0.0))
+                        tl.append(jnp.where(sel, pl_, 0.0))
+                    for terms in (th, tl):
+                        while len(terms) > 1:
+                            terms[:] = [terms[i] + terms[i + 1]
+                                        if i + 1 < len(terms) else terms[i]
+                                        for i in range(0, len(terms), 2)]
+                    sh, sl = th[0], tl[0]
+                gh = jnp.take_along_axis(sh, lam, axis=1)
+                gl = jnp.take_along_axis(sl, lam, axis=1)
                 ph, plo = dd.mul(vh, vl, gh, gl)
                 # dd tree-sum over each level's sublanes
                 for L in range(R):

@@ -575,12 +575,34 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                         lam = jax.lax.bitwise_and(ix, 127)
                         q = jax.lax.bitwise_and(
                             jax.lax.shift_right_logical(ix, 7), 7)
+                        crnd = (jax.lax.shift_right_logical(ix, 10)
+                                if P > 1 else None)
 
-                        def gat(tab, p):
+                        def gat_s(tab, p):
+                            # sublane-gathered window (pre lane gather)
                             w = pl.multiple_of(w_ref[1 + p, v], SUB)
                             xw = tab[pl.ds(w, SUB), :]
-                            g = jnp.take_along_axis(xw, q, axis=0)
-                            return jnp.take_along_axis(g, lam, axis=1)
+                            return jnp.take_along_axis(xw, q, axis=0)
+
+                        def gat(tab):
+                            # per-CELL round select over the sublane-
+                            # gathered windows, then ONE lane gather (the
+                            # round tag is cell data, wplan.py; 1.82 ->
+                            # 0.89 ns/vreg/round, tools/roundcost_ab.py)
+                            if P == 1:
+                                s = gat_s(tab, 0)
+                            else:
+                                terms = [jnp.where(crnd == p,
+                                                   gat_s(tab, p), 0.0)
+                                         for p in range(P)]
+                                while len(terms) > 1:
+                                    terms = [terms[j] + terms[j + 1]
+                                             if j + 1 < len(terms)
+                                             else terms[j]
+                                             for j in range(0,
+                                                            len(terms), 2)]
+                                s = terms[0]
+                            return jnp.take_along_axis(s, lam, axis=1)
 
                         if DDK and f32cs:
                             # f32-colsum tier (DD_F32_COLSUM_P): products
@@ -593,50 +615,20 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                             # live-vector set caused the 42.5 MiB
                             # register-spill overhead disappear.
                             vh = v_ref[0][pl.ds(v * SUB, SUB), :]
-                            if P == 1:
-                                g = gat(x_scr[0], 0)
-                            else:
-                                rnd = jax.lax.shift_right_logical(ix, 10)
-                                g = None
-                                for p in range(P):
-                                    gp = gat(x_scr[0], p)
-                                    g = (gp if g is None
-                                         else jnp.where(rnd == p, gp, g))
-                            prod = vh * g
+                            prod = vh * gat(x_scr[0])
                             for L in range(R):
                                 parts.append(jnp.sum(
                                     prod[L * stride:(L + 1) * stride],
                                     axis=0, keepdims=True))
                             continue
                         if DDK:
-                            from .pallas_backend import DD_XLO_DROP_P
-                            drop_lo = (DD_XLO_DROP_P
-                                       and P >= DD_XLO_DROP_P)
                             vh = v_ref[0][pl.ds(v * SUB, SUB), :]
                             # lo may be stored bf16 (footprint compression,
                             # see prepare); upcast is a no-op for f32
                             vl = v_ref[1][pl.ds(v * SUB, SUB), :].astype(
                                 jnp.float32)
-                            if P == 1:
-                                gh = gat(x_scr[0], 0)
-                                gl = (jnp.zeros_like(gh) if drop_lo
-                                      else gat(x_scr[1], 0))
-                            else:
-                                rnd = jax.lax.shift_right_logical(ix, 10)
-                                gh = gl = None
-                                for p in range(P):
-                                    ph_ = gat(x_scr[0], p)
-                                    pl_ = (None if drop_lo
-                                           else gat(x_scr[1], p))
-                                    if gh is None:
-                                        gh, gl = ph_, pl_
-                                    else:
-                                        gh = jnp.where(rnd == p, ph_, gh)
-                                        if not drop_lo:
-                                            gl = jnp.where(rnd == p,
-                                                           pl_, gl)
-                                if drop_lo:
-                                    gl = jnp.zeros_like(gh)
+                            gh = gat(x_scr[0])
+                            gl = gat(x_scr[1])
                             ph_, pl_ = dd.mul(vh, vl, gh, gl)
                             for L in range(R):
                                 sh, sl = dd.sum_axis(
@@ -646,20 +638,7 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                                 parts_l.append(sl[None])
                             continue
                         va = v_ref[pl.ds(v * SUB, SUB), :]
-                        if P == 1:
-                            g = gat(x_scr, 0)
-                        else:
-                            rnd = jax.lax.shift_right_logical(ix, 10)
-                            terms = []
-                            for p in range(P):
-                                gp = gat(x_scr, p)
-                                terms.append(jnp.where(rnd == p, gp, 0.0))
-                            while len(terms) > 1:
-                                terms = [terms[j] + terms[j + 1]
-                                         if j + 1 < len(terms) else terms[j]
-                                         for j in range(0, len(terms), 2)]
-                            g = terms[0]
-                        prod = va.astype(jnp.float32) * g
+                        prod = va.astype(jnp.float32) * gat(x_scr)
                         for L in range(R):
                             parts.append(jnp.sum(
                                 prod[L * stride:(L + 1) * stride], axis=0,

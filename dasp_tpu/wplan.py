@@ -13,17 +13,22 @@ are fetched from x by a two-stage vreg-local shuffle.  With ``idx`` the
 tile's int32 metadata and ``xw_p = x2d[w_p : w_p+8]`` one of the vreg's P
 1024-aligned *windows*::
 
-    r   = (idx >> 7) & 7        # routing table, indexed (sublane, lam)
-    lam = idx & 127             # per-slot lane-gather index
-    rnd = idx >> 10             # per-slot window (round) id
-    g1[i,j] = xw_p[r[i,j], j]
-    g2[i,j] = g1[i, lam[i,j]]   # slot (i,j) reads xw_p[r[i,lam], lam]
+    r    = (idx >> 7) & 7       # routing table, indexed (sublane, lam)
+    lam  = idx & 127            # per-slot lane-gather index
+    crnd = idx >> 10            # per-CELL window (round) id, at (i, lam)
+    xsel[i,j] = sum_p where(crnd[i,j] == p, xw_p[i,j], 0)
+    g1[i,j]   = xsel[r[i,j], j]
+    g2[i,j]   = g1[i, lam[i,j]]  # slot (i,j) reads xw_crnd[r[i,lam], lam]
 
 The packer *routes* each element: it picks a slot (i, j) and claims the
 shared routing cell ``r[i, lam]``; two elements may share a cell only if
 they read the same x word (a free broadcast).  Windows are 1024-aligned so
 a source's sublane coordinate ``q_rel = (col//128) % 8`` is
-window-independent and the routing table is shared across rounds.
+window-independent and the routing table is shared across rounds.  Because
+a cell maps to exactly one x word it also maps to exactly one window, so
+the round tag is CELL data (bits >= 10 at (i, lam)): the kernel pays one
+compare+select per round and runs the two gathers once per vreg — measured
+1.82 -> 0.89 ns/vreg/round on v5e (tools/roundcost_ab.py).
 
 **Block-aligned output layout.**  Slice b holds exactly the original rows
 [128b, 128b+128) (length-sorted *within* the block — the reference sorts
@@ -349,10 +354,14 @@ def _route_vreg(lane: np.ndarray, ipref: np.ndarray, col: np.ndarray,
                           dtype=np.int64)
         si, sj = slot_i[placed], lane[placed]
         vals_tile[si, sj] = val[placed]
-        idx_tile[si, sj] = (rounds << 10) | lam[placed]
-        r_mat = np.zeros((SUB, LANES), dtype=np.int64)
-        r_mat[si, lam[placed]] = q_rel[placed]
-        idx_tile |= r_mat << 7
+        # slot bits at (i, lane): lam only.  CELL bits at (i, lam):
+        # q_rel<<7 | round<<10 — a cell maps to one x word, hence one
+        # round, so the round tag is cell data: the kernel selects raw
+        # windows per cell and gathers once per vreg (see router.cpp).
+        idx_tile[si, sj] = lam[placed]
+        cell = np.zeros((SUB, LANES), dtype=np.int64)
+        cell[si, lam[placed]] = (rounds << 10) | (q_rel[placed] << 7)
+        idx_tile |= cell
     return vals_tile, idx_tile, win_list, overflow
 
 

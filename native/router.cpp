@@ -131,10 +131,16 @@ void RouteOne(const int32_t* lane, const int32_t* ipref, const int64_t* col,
       s->lane_used[i][ln] = true;
       s->cell_owner[i][lam] = src_row;
       vals_tile[i * kLanes + ln] = val[e];
-      // slot bits: rnd<<10 | lam ; routing bits r at (i, lam): q_rel<<7
-      idx_tile[i * kLanes + ln] |= (rnd << 10) | lam;
+      // slot bits (at (i, ln)): lam only.  CELL bits (at (i, lam)):
+      // q_rel<<7 | rnd<<10 — a routing cell maps to a unique x word
+      // (windows are 1024-aligned), hence a unique round, so the round
+      // tag lives with the cell: the kernel combines the raw windows
+      // with one compare+select per round and gathers (sublane, lane)
+      // ONCE per vreg instead of twice per round (measured 1.82 ->
+      // 0.89 ns/vreg/round on v5e, tools/roundcost_ab.py).
+      idx_tile[i * kLanes + ln] |= lam;
       idx_tile[i * kLanes + lam] =
-          (idx_tile[i * kLanes + lam] & ~(7 << 7)) | (q_rel << 7);
+          (idx_tile[i * kLanes + lam] & 127) | (q_rel << 7) | (rnd << 10);
       placed = true;
       break;
     }

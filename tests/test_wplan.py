@@ -34,14 +34,14 @@ def _emulate(plan, x):
             vals = s.vals[v * SUB:(v + 1) * SUB]
             lam = idx & 127
             q = (idx >> 7) & 7
-            rnd = idx >> 10
-            g = np.zeros((SUB, LANES))
+            crnd = idx >> 10          # round tag is CELL data (at (i, lam))
+            xsel = np.zeros((SUB, LANES))
             for p in range(s.P):
                 w = s.wins[v, p]
                 xw = x2d[w:w + SUB]
-                g1 = xw[q, np.arange(LANES)[None, :]]
-                gp = g1[np.arange(SUB)[:, None], lam]
-                g = np.where(rnd == p, gp, g)
+                xsel += np.where(crnd == p,
+                                 xw[q, np.arange(LANES)[None, :]], 0.0)
+            g = xsel[np.arange(SUB)[:, None], lam]
             prod = vals * g
             for L in range(R):
                 part[v * R + L] = prod[L * s.stride:(L + 1) * s.stride

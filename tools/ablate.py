@@ -26,9 +26,25 @@ from dasp_tpu.ops.pallas_backend import (LANES, LONG_PACK, SUB,
 name = sys.argv[1] if len(sys.argv) > 1 else "scircuit_like"
 iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 
-rng = np.random.default_rng(0 + abs(hash(name)) % 1000)
-csr = SUITE[name](rng)
-meta, arrays = pb.plan_to_arrays(pb.build_wplan(csr))
+from dasp_tpu.bench.suite import build_suite
+csr = build_suite([name])[0][1]   # deterministic + .suite_cache-backed
+rng = np.random.default_rng(0)
+# reuse the bench driver's on-disk plan cache when present (packing the
+# 69M-nnz livejournal arm costs ~240s of this box's one bursty vCPU)
+plan = None
+import glob
+from bench import PLAN_CACHE_VER
+for pat in sorted(glob.glob(f".plan_cache/{name}_{csr.nnz}_*_v"
+                            f"{PLAN_CACHE_VER}.npz"), reverse=True):
+    try:
+        from dasp_tpu.wplan import load_wplan
+        plan = load_wplan(pat)
+        print(f"# plan cache hit: {pat}", flush=True)
+        break
+    except Exception:
+        pass
+meta, arrays = pb.plan_to_arrays(plan if plan is not None
+                                 else pb.build_wplan(csr))
 arrays = jax.device_put(arrays)
 x2d = jax.device_put(pb.prep_x(meta, rng.standard_normal(csr.n_cols)))
 
