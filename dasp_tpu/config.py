@@ -67,6 +67,16 @@ class DaspConfig:
         the quantized-width model predicts a real fill saving, and never
         on top of a symmetric relabel (which needs row order == column
         order for on-device iteration).
+      strict_f64: keep the FULL double-double pipeline on f64 operators
+        regardless of plan size.  By default, production-size streamed dd
+        plans (past a ~16 MB floor) run their column-sum products in
+        plain f32 and store the lo value stream as bf16 — measured +18-45%
+        on graph arms at ~1e-7/1e-9 relative error, far inside the
+        reference's 1e-5 verification contract (main_f64.cu:8) but above
+        the ~1e-13 a full dd pipeline delivers.  Set True when f64 results
+        must carry full dd accuracy (e.g. cg_solve_dd residual floors);
+        costs the measured speedup on large plans, no effect on small
+        ones or on f32/bf16.
     """
 
     block_longest: int = 256
@@ -81,6 +91,7 @@ class DaspConfig:
     # (P-weighted vreg cost ratios 0.709-0.773 vs 0.746-0.788 at 8)
     relabel_hub_deg: int = 4
     row_sort: str = "auto"
+    strict_f64: bool = False
 
     def __post_init__(self):
         if self.block_longest < 5:

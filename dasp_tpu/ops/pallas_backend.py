@@ -619,9 +619,12 @@ class WMeta(NamedTuple):
 
 @gc_paused
 def plan_to_arrays(plan, dtype: str = "f32",
-                   include_overflow: bool = True, k_sources=None):
+                   include_overflow: bool = True, k_sources=None,
+                   strict_f64: bool = False):
     # k_sources overrides the used-slot trim (multi-chip stacking needs
     # one shared K across chips)
+    # strict_f64: keep the full dd pipeline on big plans (disables the
+    # bf16-lo store and the f32-colsum tier; see DaspConfig.strict_f64)
     from ..sparse import CSRMatrix
     if isinstance(plan, CSRMatrix):
         plan = build_wplan(plan)
@@ -693,8 +696,10 @@ def plan_to_arrays(plan, dtype: str = "f32",
         # stream from HBM every iteration too; the 16 MB floor keeps
         # small (test-scale, latency-bound) plans at full f32 lo.
         has_dyn = any(P > 32 for (P, _, _) in stream_shapes)
-        big_streamed = (sbytes > DD_LO16_MIN_BYTES
-                        or (has_dyn and sbytes > DD_LO16_MIN_BYTES // 6))
+        big_streamed = (not strict_f64
+                        and (sbytes > DD_LO16_MIN_BYTES
+                             or (has_dyn
+                                 and sbytes > DD_LO16_MIN_BYTES // 6)))
         if big_streamed:
             for e in arrays["streams"]:
                 e["vals_lo"] = e["vals_lo"].astype(ml_dtypes.bfloat16)
@@ -705,7 +710,8 @@ def plan_to_arrays(plan, dtype: str = "f32",
         # 79 MB of streams sit between the two).  Tiny test-scale plans
         # keep full dd colsum.
         f32cs_eligible = sbytes > DD_LO16_MIN_BYTES // 6
-        if DD_F32_COLSUM_P and (f32cs_eligible or DD_F32_FORCE):
+        if (not strict_f64 and DD_F32_COLSUM_P
+                and (f32cs_eligible or DD_F32_FORCE)):
             dd_f32 = tuple(P >= DD_F32_COLSUM_P
                            for (P, _, _) in stream_shapes)
         else:
@@ -1053,7 +1059,9 @@ class PallasSpMV:
         self.plan = (csr if isinstance(csr, WPlan)
                      else build_wplan(csr, config or DEFAULT_CONFIG))
         self.dtype = dtype
-        self._meta, arrays = plan_to_arrays(self.plan, dtype)
+        self._meta, arrays = plan_to_arrays(
+            self.plan, dtype,
+            strict_f64=(config or DEFAULT_CONFIG).strict_f64)
         # VMEM-resident iterated mode (ops/resident.py): plans whose
         # packed streams fit VMEM run chained iterations at VMEM
         # bandwidth (the TPU analog of the reference benchmarking out of
@@ -1278,7 +1286,8 @@ class SlabbedPallasSpMV:
         cfg = _dc.replace(config or DEFAULT_CONFIG, row_sort="off")
         for lo, sub in split_columns(csr, slab_cols):
             plan = build_wplan(sub, cfg, sym_ok=False)
-            meta, arrays = plan_to_arrays(plan, dtype)
+            meta, arrays = plan_to_arrays(plan, dtype,
+                                          strict_f64=cfg.strict_f64)
             self.slabs.append((lo, sub.n_cols, meta,
                                jax.device_put(arrays), plan.col_perm))
         self.plan = None

@@ -73,6 +73,16 @@ def _ru(interpret: bool) -> int:
     return int(os.environ.get("DASP_RES_RU", "32"))
 
 
+def _staging_rows(meta) -> int:
+    """Rows of the double-buffered output staging scratch — the SAME
+    formula make_resident_loop uses (2 x CH_ROWS, CH_ROWS = OG_GROUP*RU),
+    shared so resident_bytes can't undercount when DASP_RES_RU is raised
+    above its default 32 (CH_ROWS can reach 8*RU)."""
+    ru = _ru(meta.interpret)
+    og_group = max(1, min(8, (meta.B_pad // ru + 1) // 2))
+    return 2 * og_group * ru
+
+
 def _dd_f32(meta):
     """Per-stream f32-colsum flags for dd plans (see DD_F32_COLSUM_P in
     pallas_backend: products + sublane sums over the hi halves in plain
@@ -117,7 +127,7 @@ def resident_bytes(meta, arrays) -> int:
     # the OUTPUT buffer lives in HBM (memory_space=ANY; assembled chunks
     # are DMA'd out of a double-buffered staging scratch) — only the
     # staging counts against VMEM
-    n += 2 * 256 * LANES * 4 * pair           # output staging (2xCH_ROWS)
+    n += _staging_rows(meta) * LANES * 4 * pair   # output staging (2xCH_ROWS)
     res = arrays.get("resident")
     if res:
         split = res.get("split", {})
@@ -429,8 +439,8 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
     RU = _ru(interpret)
     # output staging: OG_GROUP og-chunks per HBM DMA (the out buffer
     # lives in HBM; see the outgather section)
-    OG_GROUP = max(1, min(8, (meta.B_pad // RU + 1) // 2))
-    CH_ROWS = OG_GROUP * RU
+    CH_ROWS = _staging_rows(meta) // 2    # shared with resident_bytes
+    OG_GROUP = CH_ROWS // RU
     og_prog = (_og_program(np.asarray(src_static), meta.n_y2_rows, RU)
                if src_static is not None else None)
     S = meta.s_rows

@@ -44,6 +44,14 @@ class SpMVOperator:
         (reference's spmv_double path, run as f32x2 double-double).
       config: packing tunables.
       backend: "xla", "pallas", or "auto" (pallas where supported).
+
+    f64 accuracy note: on production-size plans (past a ~16 MB stream
+    floor) the default f64 pipeline trades precision for speed — column
+    sums run in plain f32 and the lo value stream stores as bf16 —
+    delivering ~1e-7 relative error instead of the full double-double
+    ~1e-13 (still far inside the reference's 1e-5 verification contract,
+    main_f64.cu:8).  Pass ``config=DaspConfig(strict_f64=True)`` to keep
+    the full dd pipeline (e.g. for cg_solve_dd residual floors).
     """
 
     def __new__(cls, csr, dtype: str = F32,

@@ -1687,6 +1687,11 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     for q in packets:
         key = (q.cls, q.stride)
         key_mass[key] = key_mass.get(key, 0) + q.w8
+    # snapshot BEFORE merge_class_keys mutates the dict (it setdefaults
+    # zero-mass roots, line ~613): stats must carry the true raw masses —
+    # phantom zero-mass keys would flow into the multichip union merge
+    # and could drag small real classes to high-P/low-stride roots
+    raw_key_mass = dict(key_mass)
     if pin_classes is not None:
         # Globally pinned class quantization (multi-chip): the merge
         # decisions below are data-dependent, so independently packed row
@@ -1991,7 +1996,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         # masses into ONE global merge map and repacks divergent chips
         # with it pinned (see pin_classes / merge_class_keys)
         "key_mass": [[int(k[0]), int(k[1]), int(v)]
-                     for k, v in sorted(key_mass.items())],
+                     for k, v in sorted(raw_key_mass.items())],
         "class_map": [[list(k), list(v)]
                       for k, v in sorted(final_key.items())],
     }

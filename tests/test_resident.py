@@ -243,7 +243,9 @@ def test_resident_output_not_in_vmem_budget():
     n += sum(a.nbytes for a in res.get("bigs", {}).values())
     if res.get("rowsel") is not None:
         n += res["rowsel"].nbytes + res["lanesel"].nbytes
-    assert base - n == 2 * 256 * 128 * 4 * 2   # staging only, no B_pad term
+    # staging only, no B_pad term — and the budget must charge the SAME
+    # staging size the kernel allocates (2*CH_ROWS; ADVICE r3)
+    assert base - n == resident._staging_rows(meta) * 128 * 4 * 2
 
 
 def _hetero_csr(n=20000, split=10000, seed=6):

@@ -91,6 +91,30 @@ def test_spmv_dd_f32_colsum_tier(rng, monkeypatch):
     np.testing.assert_allclose(y, gold, rtol=0, atol=1e-6 * scale)
 
 
+def test_spmv_strict_f64_disables_tiers(rng, monkeypatch):
+    """DaspConfig(strict_f64=True) keeps the full dd pipeline even when
+    both big-plan gates would otherwise fire: no f32-colsum streams, no
+    bf16 lo store, full ~1e-13 accuracy (ADVICE r3: the precision trade
+    must be visible at the API, not only via env vars)."""
+    from dasp_tpu.config import DaspConfig
+    from dasp_tpu.ops import pallas_backend as pb
+    monkeypatch.setattr(pb, "DD_F32_FORCE", True)
+    monkeypatch.setattr(pb, "DD_F32_COLSUM_P", 1)
+    monkeypatch.setattr(pb, "DD_LO16_MIN_BYTES", 0)
+    csr = CASES["mixed"](rng)
+    x = rng.standard_normal(csr.n_cols)
+    op = SpMVOperator(csr, dtype="f64", backend="pallas",
+                      config=DaspConfig(strict_f64=True))
+    assert not any(op._meta.dd_f32 or ()), "strict_f64 left the tier on"
+    assert all(st["vals_lo"].dtype == np.float32
+               for st in op._arrays["streams"] if "vals_lo" in st), \
+        "strict_f64 left a bf16 lo store"
+    y = np.asarray(op(x), dtype=np.float64)
+    gold = csr.spmv(x)
+    scale = np.max(np.abs(gold)) + 1e-30
+    np.testing.assert_allclose(y, gold, rtol=0, atol=1e-12 * scale)
+
+
 def test_spmv_empty_matrix(rng):
     csr = random_csr(50, 50, np.zeros(50, dtype=np.int64), rng)
     op = SpMVOperator(csr, dtype="f32", backend="xla")
