@@ -44,7 +44,8 @@ BCOO_RISK_NNZ = 19_000_000
 # v2: W8_CLASSES intermediate widths + cost-argmin width selection
 # v3: stride-switch margin (narrower strides must win by >20% — hidden
 #     P-cost; same-window scircuit f32 A/B v2 37-39 vs v3 42-43 GF)
-PLAN_CACHE_VER = 4   # v4: round tag moved from slot to cell bits (wplan.py)
+# v4: round tag moved from slot to cell bits (wplan.py)
+PLAN_CACHE_VER = 4
 
 
 class _Summary:
@@ -101,7 +102,7 @@ def main() -> int:
     ap.add_argument("--csv-dir", default="data")
     ap.add_argument("--deadline", type=float,
                     default=float(os.environ.get("DASP_BENCH_DEADLINE",
-                                                 2100)),
+                                                 2000)),
                     help="self-imposed wall budget (s); the summary is "
                          "printed and the process exits 0 when it fires "
                          "(0 disables)")
@@ -215,6 +216,10 @@ def main() -> int:
 
     SUMMARY.total = len(suite) * len(dtypes)
     deferred_bcoo = []       # (name, dtype, bdt, csr, x): post-summary runs
+    paired_arms = []         # (name, dtype, plan): resident arms whose
+    #                          streamed variant is timed AFTER the suite
+    #                          (reference records both f16 variants per
+    #                          matrix, dasp_f16.h:1542-1718)
 
     # The BCOO competitor runs PER DTYPE (the reference runs cuSPARSE in
     # both its binaries, main_f64.cu:65-86 / main_f16.cu:57-58): f32 and
@@ -302,7 +307,14 @@ def main() -> int:
         xs[name] = np.random.default_rng(1).standard_normal(csr.n_cols)
 
     for dtype in dtypes:
-        for name, csr in suite:
+        # f32/bf16 run cheapest-first (a kill costs the least data); the
+        # LAST dtype pass runs most-expensive-first instead — round 3
+        # lost livejournal f64 three rounds running because the priciest
+        # arm sat at the very end of the whole suite (VERDICT r3), while
+        # the small f64 arms it displaces finish in seconds.
+        ordered = (suite if dtype != dtypes[-1]
+                   else sorted(suite, key=lambda t: -t[1].nnz))
+        for name, csr in ordered:
             x = xs[name]
             base_res, bdt = None, dtype
             if csr.nnz <= BCOO_RISK_NNZ:
@@ -348,6 +360,8 @@ def main() -> int:
                                                    if getattr(op, "resident",
                                                               False)
                                                    else "streamed")))
+                if getattr(op, "resident", False):
+                    paired_arms.append((name, dtype, op.plan))
             print(f"# {name} {dtype}: {res.gflops:.2f} GFLOP/s "
                   f"({res.seconds_per_iter*1e6:.1f} us/iter, "
                   f"bw {res.bandwidth2_gbs:.1f} GB/s model2)"
@@ -355,6 +369,31 @@ def main() -> int:
                      if base_res else ""),
                   file=sys.stderr)
             SUMMARY.emit()
+
+    # Every suite arm is recorded; now the PAIRED streamed rows for the
+    # resident-eligible arms (both executor variants per matrix, like the
+    # reference's two f16 kernels, dasp_f16.h:1542-1718).  These are
+    # extra CSV rows, not summary arms — a deadline kill here still
+    # leaves a complete 21-arm summary as the last JSON line.
+    from dasp_tpu.ops.pallas_backend import PallasSpMV
+    for name, dtype, plan in paired_arms:
+        try:
+            sop = PallasSpMV(plan, dtype=dtype, config=config,
+                             force_streamed=True)
+            sres = bench_spmv(sop, xs[name], dtype,
+                              warmup=min(warmup, 20), iters=iters)
+            append_record(f"{args.csv_dir}/spmv_{dtype}_record.csv",
+                          record_from(plan, sres, name, dtype, None,
+                                      baseline_dtype="",
+                                      variant="streamed"))
+            print(f"# {name} {dtype} paired streamed: "
+                  f"{sres.gflops:.2f} GFLOP/s "
+                  f"({sres.seconds_per_iter*1e6:.1f} us/iter)",
+                  file=sys.stderr)
+            del sop
+        except Exception as e:
+            print(f"# paired streamed failed on {name} {dtype}: {e}",
+                  file=sys.stderr)
 
     # All dasp arms are recorded; now the risky outsized BCOO baselines
     # (a worker crash here can no longer lose any dasp measurement —

@@ -1041,13 +1041,15 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
 class PallasSpMV:
     """Operator wrapper with the same interface as the XLA path."""
 
-    def __new__(cls, csr, dtype: str = "f32", config=None):
+    def __new__(cls, csr, dtype: str = "f32", config=None,
+                force_streamed: bool = False):
         from ..sparse import CSRMatrix
         if isinstance(csr, CSRMatrix) and csr.n_cols > SLAB_COLS:
             return SlabbedPallasSpMV(csr, dtype, config)
         return super().__new__(cls)
 
-    def __init__(self, csr, dtype: str = "f32", config=None):
+    def __init__(self, csr, dtype: str = "f32", config=None,
+                 force_streamed: bool = False):
         import time
         from ..config import DEFAULT_CONFIG
         t0 = time.perf_counter()
@@ -1066,8 +1068,12 @@ class PallasSpMV:
         # packed streams fit VMEM run chained iterations at VMEM
         # bandwidth (the TPU analog of the reference benchmarking out of
         # the A100's L2).  Constants must be built before device_put.
+        # force_streamed skips the residency probe: the bench driver uses
+        # it to time BOTH executor variants per eligible arm, matching
+        # the reference's two-variant f16 record (dasp_f16.h:1542-1718).
         from . import resident as _resident
-        _resident.prepare(self._meta, arrays)
+        if not force_streamed:
+            _resident.prepare(self._meta, arrays)
         # host copy of the out_src table: the resident outgather is
         # STATICALLY specialized from it (resident.py:_og_program)
         self._src_host = (arrays["out_src"].copy()

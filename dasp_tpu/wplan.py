@@ -764,32 +764,18 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         # stride choice may never spill MORE than the classic stride-8
         # choice would (its spills are genuine tails, handled by frags).
         SPILL_W = 8.0
-        STRIDE_MARGIN = float(_os.environ.get("DASP_STRIDE_MARGIN", "0.8"))
-        # Round-aware cost model (DASP_COST_MODEL=ns): price the gather
-        # rounds the slice will pay at run time, not just its slots.
-        # Per block, a (stride, w8) choice costs w8*s/8 vregs and —
-        # under window-aligned dealing (_deal_windows) — about
-        # nw_slice/w8 + 1 rounds per vreg, where nw_slice is the
-        # window footprint of the 8/s blocks sharing the slice.
-        # Calibrated on v5e resident-mode arms (poisson3d + cop20k
-        # back-solve): ~6.9 ns per vreg (loads, extraction, sublane
-        # sums) + ~2.5 ns per unrolled round (two gathers + select +
-        # tree add).  The classic model prices fill only; it picks
-        # w8=3 for the FEM blocks where the footprint (10.4 windows)
-        # makes w8=4+ strictly faster despite 33% more slots.
-        COST_NS = _os.environ.get("DASP_COST_MODEL", "slots") == "ns"
-        NS_A, NS_B = 6.94, 2.49
-        nw_b = None
-        if COST_NS:
-            # distinct 1024-windows per block over sellable elements
-            wbits = max(int(csr.n_cols - 1) // VREG, 1).bit_length()
-            er = np.repeat(np.arange(n), lens)
-            em = sellable[er]
-            bw_key = (blk[er[em]].astype(np.int64) << wbits) | \
-                (cols_all[np.flatnonzero(em)] >> 10)
-            bw_key = np.unique(bw_key)
-            nw_b = np.bincount((bw_key >> wbits), minlength=B).astype(
-                np.int64) if bw_key.size else np.zeros(B, np.int64)
+        # Narrower strides must beat the stride-8 cost by this factor
+        # (hidden P-cost; measured scircuit f32 same-window: marginal
+        # stride-4 wins fragmented 3 streams into 5, -14% end to end).
+        STRIDE_MARGIN = 0.8
+        # A round-aware "ns" cost model (price the gather rounds a slice
+        # will pay, not just its slots; calibrated NS_A=6.94/NS_B=2.49 on
+        # v5e) was A/B'd against this slots model and REJECTED
+        # (tools/costmodel_ab.py, 2026-08-20, interleaved same-window):
+        # poisson3d 16.4 vs 56.5 GF (the ns model drives blocks to
+        # stride-2 slices, 4.57 slots/nnz), cop20k tie, scircuit +6.6%
+        # noise-level.  The per-cell round select (ops) had already
+        # halved the round cost the model was calibrated for.
         best_cost = None
         s_choice = np.full(B, SUB, dtype=np.int64)
         w8_choice = np.full(B, W8_CLASSES[0], dtype=np.int64)
@@ -804,16 +790,8 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             # the same knee, but it can stop at the intermediate widths
             # the occupancy ladder skipped).
             covs = np.stack([_coverage(s * c) for c in W8_CLASSES])
-            if COST_NS:
-                # ns estimate per block: vregs + rounds + spill
-                nw_slice = np.minimum(nw_b[None] * (SUB // s), 32)
-                costs = (NS_A / VREG * LANES * s * w8_arr[:, None]
-                         + NS_B * (s / SUB) * (nw_slice + w8_arr[:, None])
-                         + NS_A / VREG * SPILL_W
-                         * (nnz_sell_b[None] - covs))
-            else:
-                costs = (LANES * s * w8_arr[:, None]
-                         + SPILL_W * (nnz_sell_b[None] - covs))
+            costs = (LANES * s * w8_arr[:, None]
+                     + SPILL_W * (nnz_sell_b[None] - covs))
             ci = np.argmin(costs, axis=0)
             w8_s = w8_arr[ci]
             cover = np.take_along_axis(covs, ci[None], 0)[0]
@@ -936,7 +914,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             # Window-aligned dealing for stride-8 slices (see
             # _deal_windows): cuts gather rounds where the block's
             # window footprint per vreg exceeds footprint/width.
-            if tot and _os.environ.get("DASP_WINDOW_DEAL", "auto") != "off":
+            if tot:
                 s_rep = np.repeat(s_row, reg)
                 m8 = s_rep == SUB
                 if m8.any():
