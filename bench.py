@@ -45,7 +45,8 @@ BCOO_RISK_NNZ = 19_000_000
 # v3: stride-switch margin (narrower strides must win by >20% — hidden
 #     P-cost; same-window scircuit f32 A/B v2 37-39 vs v3 42-43 GF)
 # v4: round tag moved from slot to cell bits (wplan.py)
-PLAN_CACHE_VER = 4
+# v5: window-capacity w8 floor + MED_BUCKETS 32/64 classes (R-MAT)
+PLAN_CACHE_VER = 5
 
 
 class _Summary:
@@ -209,7 +210,8 @@ def main() -> int:
                       f"GFLOP/s ({res.seconds_per_iter*1e6:.1f} us/iter, "
                       f"balance {op.stats['balance']:.2f}, pad "
                       f"{sum(op.stats.get('pad_vregs', [0]))}/"
-                      f"{sum(op.stats.get('real_vregs', [1]))} vregs)",
+                      f"{sum(op.stats.get('real_vregs', [1]))} vregs, "
+                      f"resident {op.stats.get('resident', False)})",
                       file=sys.stderr)
                 SUMMARY.emit()
         return 0

@@ -220,10 +220,23 @@ def split_incidence(big, W):
 
 
 @gc_paused
-def prepare(meta, arrays) -> None:
+def prepare(meta, arrays, uniform: bool = False) -> None:
     """Attach the resident-mode numpy constants to ``arrays`` (call BEFORE
-    device_put).  No-op when the plan is ineligible or over budget."""
+    device_put).  No-op when the plan is ineligible or over budget.
+
+    ``uniform``: multichip mode (parallel.MultiChipSpMV) — chips run ONE
+    SPMD program under shard_map, so every chip's resident constants must
+    share one shape signature.  Harmonized plans already share stream /
+    long / outgather shapes; the remaining divergence is the
+    data-dependent compression tiers, so uniform mode skips them: the
+    incidence column-band trim (per-chip bands differ), perm_c
+    compaction (per-chip used-slot sets differ), lo16, and the dd
+    cascade split (per-chip fan-ins differ) — dd plans stay streamed
+    under shard_map.  Per-chip slabs are ~1/N of the matrix, so the
+    full-width constants still fit the budget for every suite arm."""
     if not eligible(meta, arrays):
+        return
+    if uniform and meta.dtype == "f64":
         return
     res: Dict = {}
     if meta.n_long:
@@ -269,7 +282,7 @@ def prepare(meta, arrays) -> None:
         # for clean sublane slicing; saves ~35% of the bigs footprint
         # and the same fraction of the incidence-matmul MXU work.
         res["big_c0"] = {}
-        for si, big in list(bigs.items()):
+        for si, big in (() if uniform else list(bigs.items())):
             nzc = np.nonzero(big.any(axis=0))[0]
             if nzc.size == 0:
                 continue
@@ -342,6 +355,12 @@ def prepare(meta, arrays) -> None:
         return
     if resident_bytes(meta, arrays) > RESIDENT_BUDGET:
         res.pop("vals32", None)
+    if uniform:
+        # no data-dependent compression tiers (see docstring): the plan
+        # is resident iff the full-width constants fit
+        if resident_bytes(meta, arrays) > RESIDENT_BUDGET:
+            arrays["resident"] = None
+        return
     if resident_bytes(meta, arrays) > RESIDENT_BUDGET:
         # Operand compression, applied only when it is what makes the plan
         # fit (full-width operands cost nothing once resident, so small

@@ -437,6 +437,30 @@ class MultiChipSpMV:
         assert all(m == metas[0] for m in metas[1:]), \
             "harmonized plans must share one meta"
         self.meta = metas[0]
+        # VMEM-resident per-chip executor (round 4): a chip's slab is
+        # ~1/N of the matrix, so nearly every arm fits the per-chip
+        # resident budget — the 1.5-4.5x residency factor applies in
+        # exactly the mode that scales.  prepare(uniform=True) skips the
+        # per-chip data-dependent compression tiers so every chip's
+        # constants share one shape signature (shard_map is SPMD); the
+        # outgather uses the SMEM-driven dynamic path for the same
+        # reason (out_src differs per chip; the static specialization of
+        # the single-chip path would mean per-chip programs).
+        self._res_fn = None
+        from .ops import resident as _rs
+        try:
+            for _, a in lowered:
+                _rs.prepare(self.meta, a, uniform=True)
+            if all(a.get("resident") is not None for _, a in lowered):
+                self._res_fn = _rs.make_resident_loop(self.meta, None,
+                                                      None)
+        except Exception as e:          # residency is an optimization
+            print(f"# multichip resident prepare failed: {e}")
+            self._res_fn = None
+        if self._res_fn is None:
+            for _, a in lowered:
+                a.pop("resident", None)
+        self.stats["resident"] = self._res_fn is not None
         stacked = jax.tree.map(lambda *xs: np.stack(xs),
                                *[a for _, a in lowered])
         self._x_total = self.meta.s_rows * LANES
@@ -507,7 +531,49 @@ class MultiChipSpMV:
 
     def timing_loop(self, iters: int):
         """Jitted chained-iteration loop (bench --multichip): the same
-        differenced-loop contract as the single-chip operators."""
+        differenced-loop contract as the single-chip operators.  When the
+        per-chip plans are VMEM-resident (stats["resident"]), the loop
+        runs one all_gather then ``iters`` resident iterations per chip —
+        the multichip analog of the single-chip resident loop, whose
+        chained perturbation is likewise chip-local."""
+        if getattr(self, "_res_fn", None) is not None:
+            rfn = self._res_fn
+            meta = self.meta
+            mesh = self.mesh
+
+            def step_r(arrays, x_shard, it):
+                x_full = jax.tree.map(
+                    lambda a: jax.lax.all_gather(a, "x", tiled=True),
+                    x_shard)
+                x2d = x_full.reshape(meta.s_rows, 128)
+                local = jax.tree.map(lambda a: a[0], arrays)
+                y = rfn(local, x2d, it if not meta.interpret else int(it))
+                return y[None]
+
+            if meta.interpret:
+                # interpret mode retraces per iteration count (cheap):
+                # the resident kernel's grid must be static there
+                cache = getattr(self, "_res_loops", None)
+                if cache is None:
+                    cache = self._res_loops = {}
+                loop = cache.get(iters)
+                if loop is None:
+                    import functools
+                    loop = jax.jit(jax.shard_map(
+                        functools.partial(step_r, it=iters), mesh=mesh,
+                        in_specs=(P("x"), P("x")), out_specs=P("x"),
+                        check_vma=False))
+                    cache[iters] = loop
+                return lambda x_dev: loop(self._arrays, x_dev)
+            loop = getattr(self, "_res_loop_jit", None)
+            if loop is None:
+                loop = self._res_loop_jit = jax.jit(jax.shard_map(
+                    step_r, mesh=mesh,
+                    in_specs=(P("x"), P("x"), P()), out_specs=P("x"),
+                    check_vma=False))
+            it = jnp.int32(iters)
+            return lambda x_dev: loop(self._arrays, x_dev, it)
+
         step = self._step
 
         loop = getattr(self, "_loop_jit", None)

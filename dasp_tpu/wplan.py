@@ -100,9 +100,12 @@ LONG_P_CAP = 512
 K_SOURCES = 7
 SHORT_MAX = 4
 # (max_len, stride, w8); the first two apply to ALL rows <= 4 nnz, the
-# last two only to rows of blocks that dumped their primary slice
+# med classes only to rows of blocks that dumped their primary slice.
+# The 32/64 classes are a round-4 addition (R-MAT finding): dumped rows
+# of 17-64 nnz previously fell straight to the overflow pool and came
+# back as ~10%-fill rem slices / COO residue on clustered graphs.
 SHORT_BUCKETS = ((2, 2, 1), (4, 4, 1))
-MED_BUCKETS = ((8, SUB, 1), (16, SUB, 2))
+MED_BUCKETS = ((8, SUB, 1), (16, SUB, 2), (32, SUB, 4), (64, SUB, 8))
 
 
 @dataclasses.dataclass
@@ -836,6 +839,36 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 block_lane_of_row[drows] = -1
                 sellable[drows] = False
 
+        # Window-capacity width floor (round-4 R-MAT finding): a vreg's
+        # routing table holds at most P_CLASSES[-1]=32 windows, and a
+        # stride-s slice pools 8/s blocks' windows — the fill cost model
+        # cannot see either.  Clustered-graph blocks with 50-300 distinct
+        # 1024-windows (rmat_like: mean 75, p95 326 per block) were
+        # given w8=1-2, so primary routing rejected most elements into
+        # the shared rem slices (4278 slices at ~10% fill on rmat, then
+        # 4% COO residue).  Raise w8 until the expected windows per vreg
+        # stay under ~24 (margin for dealing imbalance); blocks inside
+        # the cap are untouched (cop20k 1.3 windows/block, relabeled
+        # poisson3d ~5).
+        if sellable.any():
+            # 24 beat {off, 32, 12} on rmat_like (slots/nnz 8.83 vs
+            # 9.49/9.01/10.24, P-cost minimal) — margin below the 32-cap
+            # absorbs dealing imbalance without padding blowup.
+            WIN_VREG_TARGET = 24
+            eblk = np.repeat(blk, lens)          # per-element block id
+            em = np.repeat(sellable, lens)
+            wbits = max(int(csr.n_cols - 1) // VREG, 1).bit_length()
+            bw_key = np.unique((eblk[em].astype(np.int64) << wbits)
+                               | (cols_all[em] >> 10).astype(np.int64))
+            nw_b = (np.bincount(bw_key >> wbits, minlength=B)
+                    if bw_key.size else np.zeros(B, np.int64))
+            need = -(-nw_b * (SUB // s_choice) // WIN_VREG_TARGET)
+            lift = need > w8_choice
+            if lift.any():
+                qi = np.searchsorted(w8_arr,
+                                     np.minimum(need[lift], w8_arr[-1]))
+                w8_choice[lift] = w8_arr[qi]
+
         rows_sell_all = np.flatnonzero(sellable)
         s_row0 = s_choice[blk[rows_sell_all]]
         w8_row0 = w8_choice[blk[rows_sell_all]]
@@ -1051,7 +1084,21 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     n_short_slices = [0] * len(ALL_BUCKETS)
     if n:
         CAPS = LANES - 1                  # lane 127 reserved always-zero
-        short_parts, short_meta = [], []  # meta = (bi, sid, stride, w8)
+        short_meta = []                   # (bi, sid, stride, w8) per slice
+        cls_elems = []                    # per class: flat element arrays
+        vreg_total = 0                    # global bucket-vreg counter
+        # Outgather-slot budget gate for the MED classes (the 32/64
+        # extension made primary + 2 short + 4 med = 7 committed slots
+        # possible, leaving none for a block's long-scalar rows — caught
+        # by the _emit invariant on livejournal).  Track per-block
+        # committed slots (primary + buckets) and route med rows of
+        # blocks at cap to the overflow pool instead (the pre-extension
+        # behavior).  Short classes stay ungated: primary + 2 short = 3
+        # can never breach the reserve.
+        has_long_b0 = np.zeros(B, dtype=bool)
+        has_long_b0[np.flatnonzero(is_long) // LANES] = True
+        cap_b = K_SOURCES - np.where(has_long_b0, 2, 1)
+        committed_b = (slice_of_block >= 0).astype(np.int64)
         prev_max = 0
         for bi, (max_len, s, bw8) in enumerate(ALL_BUCKETS):
             if bi < len(SHORT_BUCKETS):
@@ -1059,6 +1106,20 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             else:
                 sel_mask = is_med_bucket & (lens > prev_max) \
                     & (lens <= max_len)
+                # keep one slot free for the block's rem level: med
+                # classes displacing rem capacity pushed spill rows of
+                # the same block straight to COO (fuzz regression)
+                over = sel_mask & (committed_b[blk] >= cap_b[blk] - 1)
+                orows = np.flatnonzero(over)
+                if orows.size:
+                    dl = lens[orows]
+                    eidx = np.repeat(rpt[orows], dl) + (
+                        np.arange(int(dl.sum())) - np.repeat(
+                            np.concatenate([[0], np.cumsum(dl)[:-1]]), dl))
+                    ovf_r.append(np.repeat(orows, dl))
+                    ovf_c.append(cols_all[eidx])
+                    ovf_v.append(vals_all[eidx])
+                    sel_mask &= ~over
             prev_max = max_len
             sel_rows = np.flatnonzero(sel_mask)
             if sel_rows.size == 0:
@@ -1066,75 +1127,92 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             G = SUB // s                  # levels per slice
             ub, bstart = np.unique(blk[sel_rows], return_index=True)
             bstart = np.append(bstart, sel_rows.size)
-            # slice/level accumulation, block-atomic per level
-            level, cnt = 0, 0
-            level_rows: List[np.ndarray] = []
-
-            def flush_level(bi=bi, s=s, bw8=bw8):
-                nonlocal level_rows, cnt
-                if not level_rows:
-                    return
-                rows_l = np.concatenate(level_rows)
-                lanes_l = np.arange(rows_l.size)
-                short_lane_of_row[rows_l] = lanes_l
-                short_bucket_of_row[rows_l] = bi
-                ln_l = lens[rows_l]
-                tot = int(ln_l.sum())
-                starts = np.concatenate([[0], np.cumsum(ln_l)[:-1]])
-                k = np.arange(tot) - np.repeat(starts, ln_l)
-                eidx = np.repeat(rpt[rows_l], ln_l) + k
-                # rows spread over the slice's bw8 vregs, c elements each
-                c = np.maximum(1, -(-ln_l // bw8))
-                c_rep = np.repeat(c, ln_l)
-                v_of = k // c_rep
-                part = short_parts[-1]
-                for v in range(bw8):
-                    m = v_of == v
-                    part[v][0].append(np.repeat(lanes_l, ln_l)[m])
-                    part[v][1].append(level * s + (k % c_rep)[m])
-                    part[v][2].append(cols_all[eidx[m]])
-                    part[v][3].append(vals_all[eidx[m]])
-                    part[v][4].append(np.repeat(rows_l, ln_l)[m])
-                level_rows = []
-                cnt = 0
-
-            def open_slice(bi=bi, s=s, bw8=bw8):
-                short_parts.append([([], [], [], [], [])
-                                    for _ in range(bw8)])
-                short_meta.append((bi, n_short_slices[bi], s, bw8))
-                n_short_slices[bi] += 1
-
-            open_slice()
-            for j, b in enumerate(ub):
-                br = sel_rows[bstart[j]:bstart[j + 1]]
-                if br.size > CAPS:
-                    for r in br[CAPS:]:
-                        s0, s1 = int(rpt[r]), int(rpt[r + 1])
-                        ovf_r.append(np.full(s1 - s0, r))
-                        ovf_c.append(cols_all[s0:s1])
-                        ovf_v.append(vals_all[s0:s1])
-                    br = br[:CAPS]
-                if cnt + br.size > CAPS:
-                    flush_level()
+            nb = np.diff(bstart)
+            # rows beyond CAPS per block -> overflow (keep the first CAPS)
+            if (nb > CAPS).any():
+                keep = np.ones(sel_rows.size, dtype=bool)
+                for j in np.flatnonzero(nb > CAPS):
+                    keep[bstart[j] + CAPS:bstart[j + 1]] = False
+                drop = sel_rows[~keep]
+                dl = lens[drop]
+                eidx = np.repeat(rpt[drop], dl) + (
+                    np.arange(int(dl.sum())) - np.repeat(
+                        np.concatenate([[0], np.cumsum(dl)[:-1]]), dl))
+                ovf_r.append(np.repeat(drop, dl))
+                ovf_c.append(cols_all[eidx])
+                ovf_v.append(vals_all[eidx])
+                sel_rows = sel_rows[keep]
+                ub, bstart = np.unique(blk[sel_rows], return_index=True)
+                bstart = np.append(bstart, sel_rows.size)
+                nb = np.diff(bstart)
+            # Sequential slice/level assignment: block-atomic per level,
+            # scalar loop over BLOCKS only — all element math below is
+            # one vectorized pass.  (The former per-level flush/append
+            # closure concatenated ~24k times on livejournal's short-row
+            # population: 21.5s of a 69s pack, the largest remaining
+            # Python phase — VERDICT r3 item 5.)
+            sid0 = n_short_slices[bi]
+            slice_b = np.empty(ub.size, dtype=np.int64)
+            level_b = np.empty(ub.size, dtype=np.int64)
+            off_b = np.empty(ub.size, dtype=np.int64)
+            sid, level, cnt = sid0, 0, 0
+            nb_l = nb.tolist()
+            for j, m in enumerate(nb_l):
+                if cnt + m > CAPS:
                     level += 1
+                    cnt = 0
                     if level == G:
-                        open_slice()
+                        sid += 1
                         level = 0
-                short_slice_of_block[bi][b] = short_meta[-1][1]
-                short_level_of_block[bi][b] = level
-                level_rows.append(br)
-                cnt += br.size
-            flush_level()
-        if short_parts:
-            def cat(lst, dt=np.int64):
-                return (np.concatenate(lst) if lst
-                        else np.zeros(0, dtype=dt))
-            flat = [p for slc in short_parts for p in slc]
-            erows = [cat(p[4]) for p in flat]
-            parts = [(cat(p[0]), cat(p[1]), cat(p[2]), cat(p[3], float))
-                     for p in flat]
+                slice_b[j] = sid
+                level_b[j] = level
+                off_b[j] = cnt
+                cnt += m
+            n_new = sid - sid0 + 1
+            n_short_slices[bi] = sid0 + n_new
+            for t in range(n_new):
+                short_meta.append((bi, sid0 + t, s, bw8))
+            short_slice_of_block[bi][ub] = slice_b
+            short_level_of_block[bi][ub] = level_b
+            committed_b[ub] += 1
+            # per-row lane within the level, then one flat element pass
+            lane_r = (np.repeat(off_b, nb) + np.arange(sel_rows.size)
+                      - np.repeat(bstart[:-1], nb))
+            short_lane_of_row[sel_rows] = lane_r
+            short_bucket_of_row[sel_rows] = bi
+            ln_r = lens[sel_rows]
+            tot = int(ln_r.sum())
+            starts = np.concatenate([[0], np.cumsum(ln_r)[:-1]])
+            k = np.arange(tot) - np.repeat(starts, ln_r)
+            eidx = np.repeat(rpt[sel_rows], ln_r) + k
+            c_rep = np.repeat(np.maximum(1, -(-ln_r // bw8)), ln_r)
+            v_of = k // c_rep
+            vreg_e = (vreg_total
+                      + np.repeat(np.repeat(slice_b - sid0, nb), ln_r)
+                      * bw8 + v_of)
+            cls_elems.append((
+                vreg_e,
+                np.repeat(lane_r, ln_r),
+                np.repeat(np.repeat(level_b, nb) * s, ln_r)
+                + (k % c_rep),
+                cols_all[eidx], vals_all[eidx],
+                np.repeat(sel_rows, ln_r)))
+            vreg_total += n_new * bw8
+        if short_meta:
             strides_flat = [m[2] for m in short_meta
                             for _ in range(m[3])]
+            ve = np.concatenate([c[0] for c in cls_elems])
+            o2 = np.argsort(ve, kind="stable")
+            bounds = np.zeros(vreg_total + 1, dtype=np.int64)
+            np.cumsum(np.bincount(ve[o2], minlength=vreg_total),
+                      out=bounds[1:])
+            sp = bounds[1:-1]
+            le, ie, ce, vae, re_ = (
+                np.concatenate([c[i] for c in cls_elems])[o2]
+                for i in range(1, 6))
+            parts = list(zip(np.split(le, sp), np.split(ie, sp),
+                             np.split(ce, sp), np.split(vae, sp)))
+            erows = np.split(re_, sp)
             routed = _route_vregs_batch(parts, p_cap, strides_flat)
             cur = 0
             for bi, sid, s, bw8 in short_meta:
@@ -1716,8 +1794,11 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         stream_idx[key] = len(streams)
         mine = [p for p in packets
                 if final_key[(p.cls, p.stride)] == key]
-        kind_rank = {"sell": 0, "short0": 1, "short1": 2, "short2": 3,
-                     "short3": 4, "rem2": 5, "rem3": 6, "long": 7}
+        n_buckets = len(SHORT_BUCKETS) + len(MED_BUCKETS)
+        kind_rank = {"sell": 0,
+                     **{f"short{i}": 1 + i for i in range(n_buckets)},
+                     "rem2": 1 + n_buckets, "rem3": 2 + n_buckets,
+                     "long": 3 + n_buckets}
         mine.sort(key=lambda p: (kind_rank[p.kind], p.stride, p.w8,
                                  p.block))
         vals_parts, idx_parts, win_parts = [], [], []

@@ -133,6 +133,34 @@ def test_multichip_timing_loop(rng):
     assert np.isfinite(y).all()
 
 
+def test_multichip_resident_loop(rng):
+    """Round-4: per-chip slabs run the VMEM-resident iterated kernel
+    under shard_map (uniform prepare: no per-chip compression tiers, the
+    SMEM-driven dynamic outgather).  The chained loop must agree with
+    the streamed per-chip step — the 1e-36 perturbation is below f32
+    resolution, so N resident iterations reproduce one SpMV."""
+    csr = mixed_categories(900, rng)
+    op = MultiChipSpMV(csr, dtype="f32")
+    assert op.stats.get("resident") is True
+    x_dev = op._prep_x(rng.standard_normal(csr.n_cols))
+    y_str = np.asarray(op._step(op._arrays, x_dev))
+    y_res = np.asarray(op.timing_loop(3)(x_dev))
+    np.testing.assert_allclose(y_res, y_str, rtol=2e-5, atol=2e-4)
+
+
+def test_multichip_resident_f64_streams(rng):
+    """dd plans stay streamed under shard_map (the cascade split is
+    per-chip data-dependent; resident.prepare(uniform=True) docstring)."""
+    csr = mixed_categories(900, rng)
+    op = MultiChipSpMV(csr, dtype="f64")
+    assert op.stats.get("resident") is False
+    x = rng.standard_normal(csr.n_cols)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(op(x) / scale, golden / scale,
+                               rtol=1e-10, atol=1e-10)
+
+
 def test_windowed_multichip_relabel(rng):
     """Global column relabel composes with the row-partitioned multichip
     path (one shared perm, applied in _prep_x before sharding)."""
