@@ -123,6 +123,12 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8)]
     except AttributeError:
         pass
+    if hasattr(lib, "dasp_deal_cascade"):
+        P = ctypes.POINTER
+        lib.dasp_deal_cascade.restype = None
+        lib.dasp_deal_cascade.argtypes = [
+            ctypes.c_int64, P(ctypes.c_uint8), P(ctypes.c_int64),
+            P(ctypes.c_int64), P(ctypes.c_int64)]
     _LIB = lib
     return lib
 
@@ -293,6 +299,27 @@ def has_pack_long() -> bool:
 def has_router() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "dasp_route_vregs")
+
+
+def deal_cascade(newr, w8, ce):
+    """Native window-dealing feasibility waves (wplan._deal_windows):
+    exact replica of the forward/backward numpy wave loops, parallel
+    over rows.  Returns (ce, pos) or None if the library lacks it."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dasp_deal_cascade"):
+        return None
+    n = int(ce.size)
+    newr = np.ascontiguousarray(newr, dtype=np.uint8)
+    w8 = np.ascontiguousarray(w8, dtype=np.int64)
+    ce = np.ascontiguousarray(ce, dtype=np.int64)
+    pos = np.zeros(max(n, 1), dtype=np.int64)
+    P = ctypes.POINTER
+    lib.dasp_deal_cascade(
+        n, newr.ctypes.data_as(P(ctypes.c_uint8)),
+        w8.ctypes.data_as(P(ctypes.c_int64)),
+        ce.ctypes.data_as(P(ctypes.c_int64)),
+        pos.ctypes.data_as(P(ctypes.c_int64)))
+    return ce, pos[:n]
 
 
 def available() -> bool:

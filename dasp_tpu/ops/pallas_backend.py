@@ -500,7 +500,7 @@ def _make_outgather_dd(B: int, R2: int, K: int, interpret: bool):
                     r = pl.ds(src_ref[u * UNROLL + k, s], 1)
                     sh_ref[pl.ds(k, 1), :] = yh_ref[r, :]
                     sl_ref[pl.ds(k, 1), :] = yl_ref[r, :]
-                pr = perm_ref[s, rows, :]
+                pr = perm_ref[s, rows, :].astype(jnp.int32)
                 gh = jnp.take_along_axis(sh_ref[0:UNROLL, :], pr, axis=1)
                 gl = jnp.take_along_axis(sl_ref[0:UNROLL, :], pr, axis=1)
                 if ah is None:
@@ -562,7 +562,7 @@ def _make_outgather(B: int, R2: int, K: int, interpret: bool):
                 for k in range(UNROLL):
                     scr_ref[pl.ds(k, 1), :] = \
                         y2_ref[pl.ds(src_ref[u * UNROLL + k, s], 1), :]
-                pr = perm_ref[s, rows, :]
+                pr = perm_ref[s, rows, :].astype(jnp.int32)
                 g = jnp.take_along_axis(scr_ref[0:UNROLL, :], pr, axis=1)
                 acc = g if acc is None else acc + g
             out_ref[rows, :] = acc
@@ -748,8 +748,12 @@ def plan_to_arrays(plan, dtype: str = "f32",
     Z_final = plan.n_y2_rows                     # zero row index in y2
     src = np.full((B_pad, K_SOURCES), Z_final, dtype=np.int32)
     src[:B] = plan.out_src
-    # k-major perm layout (K, B_pad, 128) for contiguous per-step reads
-    perm = np.zeros((K_SOURCES, B_pad, LANES), dtype=np.int32)
+    # k-major perm layout (K, B_pad, 128) for contiguous per-step reads.
+    # int8 (lane ids are 0..127): the perm table is the outgather's
+    # single biggest HBM stream — livejournal k_used=7 reads
+    # 7*37888*128 = 34 MB/iter at int8 vs 136 MB at int32 (the kernels
+    # upcast in-register before take_along_axis)
+    perm = np.zeros((K_SOURCES, B_pad, LANES), dtype=np.int8)
     perm[:, :B] = plan.out_perm.reshape(B, K_SOURCES, LANES).transpose(
         1, 0, 2)
     # Trim the source table to the plan-wide max of USED slots (slot k
@@ -771,22 +775,25 @@ def plan_to_arrays(plan, dtype: str = "f32",
         o = plan.overflow
         rows = np.repeat(np.arange(o.n_rows), o.row_lengths).astype(np.int32)
         entry = dict(rows=rows, cols=o.col_idx.astype(np.int32))
+        # per-row reduction tree: (R_o, C_pad) indices into the product
+        # stream (pad -> the appended zero product).  For dd it keeps the
+        # row sums compensated; for f32/bf16 it pre-sums duplicates so
+        # the final scatter-add runs with unique SORTED indices — XLA's
+        # TPU scatter serializes on the general path (measured 380 us for
+        # 15k elements on livejournal, tools/assembly_attrib.py)
+        lens_o = o.row_lengths
+        urows = np.flatnonzero(lens_o > 0)
+        cmax = 1 << int(np.ceil(np.log2(max(int(lens_o.max()), 1))))
+        tree = np.full((urows.size, cmax), o.nnz, dtype=np.int32)
+        for k, rr in enumerate(urows):
+            s0, s1 = int(o.row_ptr[rr]), int(o.row_ptr[rr + 1])
+            tree[k, :s1 - s0] = np.arange(s0, s1)
+        entry["tree"] = tree
+        entry["tree_rows"] = urows.astype(np.int32)
         if dtype == "f64":
             from . import dd as _dd
             entry["vals_hi"], entry["vals_lo"] = _dd.from_f64(
                 o.values.astype(np.float64))
-            # per-row compensated reduction tree: (R_o, C_pad) indices into
-            # the product stream (pad -> the appended zero product), so the
-            # row sums keep dd precision instead of f32 scatter-adds
-            lens_o = o.row_lengths
-            urows = np.flatnonzero(lens_o > 0)
-            cmax = 1 << int(np.ceil(np.log2(max(int(lens_o.max()), 1))))
-            tree = np.full((urows.size, cmax), o.nnz, dtype=np.int32)
-            for k, rr in enumerate(urows):
-                s0, s1 = int(o.row_ptr[rr]), int(o.row_ptr[rr + 1])
-                tree[k, :s1 - s0] = np.arange(s0, s1)
-            entry["tree"] = tree
-            entry["tree_rows"] = urows.astype(np.int32)
         else:
             entry["vals"] = o.values.astype(np.float32)
         arrays["overflow"] = entry
@@ -889,7 +896,11 @@ def _assemble_y(meta: WMeta, arrays: Dict, partials, x2d):
     if arrays["overflow"] is not None:
         o = arrays["overflow"]
         xg = jnp.take(x2d.reshape(-1), o["cols"], mode="clip")
-        y = y.at[o["rows"]].add(o["vals"] * xg, mode="drop")
+        pc = jnp.concatenate([o["vals"] * xg, jnp.zeros(1, jnp.float32)])
+        c = jnp.take(pc, o["tree"], mode="clip").sum(axis=1)
+        y = y.at[o["tree_rows"]].add(c, mode="drop",
+                                     indices_are_sorted=True,
+                                     unique_indices=True)
     return y
 
 
@@ -1032,8 +1043,10 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
         th = jnp.take(ph, o["tree"], mode="clip")
         tl = jnp.take(plo, o["tree"], mode="clip")
         rh, rl = dd.sum_axis(th, tl, 1, safe=True)
-        zh = jnp.zeros_like(yh).at[o["tree_rows"]].set(rh, mode="drop")
-        zl = jnp.zeros_like(yl).at[o["tree_rows"]].set(rl, mode="drop")
+        zh = jnp.zeros_like(yh).at[o["tree_rows"]].set(
+            rh, mode="drop", indices_are_sorted=True, unique_indices=True)
+        zl = jnp.zeros_like(yl).at[o["tree_rows"]].set(
+            rl, mode="drop", indices_are_sorted=True, unique_indices=True)
         yh, yl = dd.add(yh, yl, zh, zl, safe=True)
     return dict(hi=yh, lo=yl)
 

@@ -1186,16 +1186,25 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                 tl = jnp.take(plo, o["tree"], mode="clip")
                 rh, rl = dd.sum_axis(th, tl, 1, safe=True)
                 zh = jnp.zeros_like(yh).at[o["tree_rows"]].set(
-                    rh, mode="drop")
+                    rh, mode="drop", indices_are_sorted=True,
+                    unique_indices=True)
                 zl = jnp.zeros_like(yl).at[o["tree_rows"]].set(
-                    rl, mode="drop")
+                    rl, mode="drop", indices_are_sorted=True,
+                    unique_indices=True)
                 yh, yl = dd.add(yh, yl, zh, zl, safe=True)
             return dict(hi=yh, lo=yl)
         y = out.reshape(-1)[:meta.n_rows]
         if arrays["overflow"] is not None:
+            # pre-sum duplicates through the per-row tree so the
+            # scatter-add runs unique+sorted (see _assemble_y)
             o = arrays["overflow"]
             xg = jnp.take(x2d.reshape(-1), o["cols"], mode="clip")
-            y = y.at[o["rows"]].add(o["vals"] * xg, mode="drop")
+            pc = jnp.concatenate([o["vals"] * xg,
+                                  jnp.zeros(1, jnp.float32)])
+            c = jnp.take(pc, o["tree"], mode="clip").sum(axis=1)
+            y = y.at[o["tree_rows"]].add(c, mode="drop",
+                                         indices_are_sorted=True,
+                                         unique_indices=True)
         if meta.dtype == "bf16":
             y = y.astype(jnp.bfloat16)
         return y

@@ -398,7 +398,9 @@ class MultiChipSpMV:
         for p in plans:
             for cls, stride, mass in p.stats["key_mass"]:
                 union[(cls, stride)] = union.get((cls, stride), 0) + mass
-        gmap = merge_class_keys(union)
+        from .wplan import SUB, VREG
+        gmap = merge_class_keys(
+            union, s_rows=(-(-max(csr.n_cols, 1) // VREG)) * SUB)
         for d, p in enumerate(plans):
             own = {tuple(k): tuple(v) for k, v in p.stats["class_map"]}
             if any(gmap.get(k, k) != own[k] for k in own):

@@ -486,25 +486,32 @@ def _deal_windows(sid, col, row, vl0, w8, n_sids):
     # the directions ping-pongs the same elements and smears windows
     # across chunks: measured 6.8 rounds/vreg interleaved vs 5.3
     # forward-only on poisson3d.
-    pos = ipref0
-    for _ in range(36):
-        nrc = newr.copy()
-        nrc[1:] |= ce[1:] != ce[:-1]
-        pos = idx - np.maximum.accumulate(np.where(nrc, idx, 0))
-        over_f = (pos >= SUB) & (ce < w8 - 1)
-        if not over_f.any():
-            break
-        ce[over_f] += 1
-    for _ in range(36):
-        cend_idx = np.flatnonzero(np.append(nrc[1:], True))
-        rpos = (pos[cend_idx])[np.searchsorted(cend_idx, idx)] - pos
-        over_b = (rpos >= SUB) & (ce > 0)
-        if not over_b.any():
-            break
-        ce[over_b] -= 1
-        nrc = newr.copy()
-        nrc[1:] |= ce[1:] != ce[:-1]
-        pos = idx - np.maximum.accumulate(np.where(nrc, idx, 0))
+    from .io import native as _nat
+    _nd = _nat.deal_cascade(newr, w8, ce)
+    if _nd is not None:
+        # native cascade: same waves, parallel over rows (each wave in
+        # numpy is a full-array pass and livejournal runs ~dozens)
+        ce, pos = _nd
+    else:
+        pos = ipref0
+        for _ in range(36):
+            nrc = newr.copy()
+            nrc[1:] |= ce[1:] != ce[:-1]
+            pos = idx - np.maximum.accumulate(np.where(nrc, idx, 0))
+            over_f = (pos >= SUB) & (ce < w8 - 1)
+            if not over_f.any():
+                break
+            ce[over_f] += 1
+        for _ in range(36):
+            cend_idx = np.flatnonzero(np.append(nrc[1:], True))
+            rpos = (pos[cend_idx])[np.searchsorted(cend_idx, idx)] - pos
+            over_b = (rpos >= SUB) & (ce > 0)
+            if not over_b.any():
+                break
+            ce[over_b] -= 1
+            nrc = newr.copy()
+            nrc[1:] |= ce[1:] != ce[:-1]
+            pos = idx - np.maximum.accumulate(np.where(nrc, idx, 0))
     # ---- gate per sid: total rounds (distinct (chunk, window) pairs)
     # must strictly drop vs position dealing
     key1 = (((sid << 6) | ce) << wb) | win
@@ -549,7 +556,8 @@ def _p_class(p_used: int, p_cap: int) -> int:
     return p_cap
 
 
-def merge_class_keys(key_mass: Dict[Tuple[int, int], int]
+def merge_class_keys(key_mass: Dict[Tuple[int, int], int],
+                     s_rows: int = 0
                      ) -> Dict[Tuple[int, int], Tuple[int, int]]:
     """Merge small (P-class, stride) stream keys into bigger ones.
 
@@ -567,10 +575,22 @@ def merge_class_keys(key_mass: Dict[Tuple[int, int], int]
     saving is smaller: 320 merged a P=6 class into scircuit's stride-2
     pool and LOST 6%; 120 keeps only the cheap merges (cop20k +6%).
 
+    ``s_rows`` adds the dominant WIDE-matrix fixed cost: every launch
+    re-DMAs the whole (s_rows, 128) f32 x table into VMEM (the x
+    BlockSpec maps every grid step to block 0, loaded once per call) —
+    512 B/row = 0.083 vreg-equivalents of A-stream traffic per x row,
+    discounted 50% for the overlap XLA does recover (livejournal
+    attribution: 18 standalone streams sum to 4.3 ms vs 3.35 ms fused;
+    26-vreg streams still cost ~79 us standalone, s_rows=37888).  For
+    small matrices the term is negligible (scircuit s_rows=1336: +56)
+    so the round-3 calibration regime is preserved.
+
     Factored out of build_wplan so the multi-chip builder can run it ONCE
     over the union of all chips' key masses (globally pinned class
     quantization; see ``pin_classes``)."""
-    ROUND_EQ, ROW_EQ, FIXED_EQ = 0.17, 0.083, 120.0
+    ROUND_EQ, ROW_EQ = 0.17, 0.083
+    X_EQ = 0.5 * 512.0 / 6144.0          # x-table reload, overlap-halved
+    FIXED_EQ = 120.0 + X_EQ * s_rows
     final_key: Dict[Tuple[int, int], Tuple[int, int]] = {
         k: k for k in key_mass}
 
@@ -1198,6 +1218,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 cols_all[eidx], vals_all[eidx],
                 np.repeat(sel_rows, ln_r)))
             vreg_total += n_new * bw8
+        _pt('buckets_cls')
         if short_meta:
             strides_flat = [m[2] for m in short_meta
                             for _ in range(m[3])]
@@ -1213,7 +1234,9 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             parts = list(zip(np.split(le, sp), np.split(ie, sp),
                              np.split(ce, sp), np.split(vae, sp)))
             erows = np.split(re_, sp)
+            _pt('buckets_cat')
             routed = _route_vregs_batch(parts, p_cap, strides_flat)
+            _pt('buckets_route')
             cur = 0
             for bi, sid, s, bw8 in short_meta:
                 tiles = [(routed[cur + v][0], routed[cur + v][1],
@@ -1758,7 +1781,8 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         # chips with it pinned here.
         final_key = {k: pin_classes.get(k, k) for k in key_mass}
     else:
-        final_key = merge_class_keys(key_mass)
+        final_key = merge_class_keys(
+            key_mass, s_rows=(-(-max(csr.n_cols, 1) // VREG)) * SUB)
 
     _pt('asm_merge')
     key_list = sorted({final_key[(p.cls, p.stride)] for p in packets})

@@ -493,4 +493,75 @@ void dasp_pack_long_export(void* h, double* vals_tiles, int32_t* idx_tiles,
 
 void dasp_pack_long_free(void* h) { delete static_cast<LongPack*>(h); }
 
+// Window-dealing feasibility cascade (wplan._deal_windows waves).
+// Exact native replica of the two numpy wave loops: FORWARD (runs of
+// equal chunk id ce longer than kSub sublanes shed their tail to the
+// next chunk, <= 36 waves) then BACKWARD (runs still overfull at the
+// last chunk shed their head downward, <= 36 waves).  Rows are
+// independent (the numpy waves' run masks reset at row starts), so the
+// cascade parallelizes over rows; the numpy version instead ran every
+// wave as a full-array pass (up to 72 passes over 61M elements on
+// livejournal = most of its _deal_windows time).
+//
+// In:  newr[n]  row-start flags, w8[n] per-element chunk count,
+//      ce[n]    initial chunk assignment (modified in place).
+// Out: ce final chunks, pos[n] final rank-in-run (the caller takes
+//      pos % kSub as the sublane preference).
+void dasp_deal_cascade(int64_t n, const uint8_t* newr, const int64_t* w8,
+                       int64_t* ce, int64_t* pos) {
+  if (n <= 0) return;
+  std::vector<int64_t> starts;
+  starts.reserve(1024);
+  for (int64_t i = 0; i < n; ++i)
+    if (newr[i]) starts.push_back(i);
+  if (starts.empty()) starts.push_back(0);
+  const int64_t n_rows = static_cast<int64_t>(starts.size());
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 512)
+#endif
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const int64_t s = starts[r];
+    const int64_t e = (r + 1 < n_rows) ? starts[r + 1] : n;
+    // forward waves: pos computed from the CURRENT ce, then every
+    // element with pos >= kSub and room (ce < w8-1) bumps one chunk.
+    // On a no-op wave the loop breaks with pos still matching ce (the
+    // numpy loop's state on break).
+    for (int it = 0; it < 36; ++it) {
+      int64_t rs = s;
+      for (int64_t i = s; i < e; ++i) {
+        if (i > s && ce[i] != ce[i - 1]) rs = i;
+        pos[i] = i - rs;
+      }
+      bool any = false;
+      for (int64_t i = s; i < e; ++i)
+        if (pos[i] >= kSub && ce[i] < w8[i] - 1) {
+          ce[i] += 1;
+          any = true;
+        }
+      if (!any) break;
+    }
+    // backward waves: run ends derive from the CURRENT pos state (which
+    // is stale by one bump if the forward loop exhausted its 36 waves —
+    // faithfully matching the numpy order of operations), decrements
+    // apply, then runs/pos recompute at the wave's END.
+    for (int it = 0; it < 36; ++it) {
+      bool any = false;
+      int64_t rend = pos[e - 1];
+      for (int64_t i = e - 1; i >= s; --i) {
+        if (i < e - 1 && pos[i + 1] == 0) rend = pos[i];
+        if (rend - pos[i] >= kSub && ce[i] > 0) {
+          ce[i] -= 1;
+          any = true;
+        }
+      }
+      if (!any) break;
+      int64_t rs = s;
+      for (int64_t i = s; i < e; ++i) {
+        if (i > s && ce[i] != ce[i - 1]) rs = i;
+        pos[i] = i - rs;
+      }
+    }
+  }
+}
+
 }  // extern "C"
