@@ -60,6 +60,70 @@ def _on_tpu() -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _colsum_body(P, stride, BV, UNROLL, win_ref, vals_ref, idx_ref,
+                 x_ref, out_ref, win_t: bool = False):
+    """Shared per-block colsum math (see _make_colsum's docstring): the
+    unrolled per-vreg 2-stage gather + masked round tree + per-level
+    sublane sums, writing (BV * 8//stride, 128) level rows.
+
+    ``win_t``: the wins block is TRANSPOSED (P+1, BV).  SMEM charges a
+    full 512 B line per ROW, so a (BV, P+1) block costs BV lines — the
+    fused multi-stream kernel's 12 double-buffered wins blocks at
+    BV=128 overflowed the 1 MB SMEM (measured 1.5 MB); transposed they
+    cost P+1 lines each (~140 total)."""
+    R = SUB // stride
+
+    def win(v, j):
+        return win_ref[j, v] if win_t else win_ref[v, j]
+
+    def body(u, _):
+        parts = []
+        for k in range(UNROLL):
+            v = u * UNROLL + k
+            idx = idx_ref[pl.ds(v * SUB, SUB), :].astype(jnp.int32)
+            vals = vals_ref[pl.ds(v * SUB, SUB), :]
+            lam = jax.lax.bitwise_and(idx, 127)
+            q = jax.lax.bitwise_and(
+                jax.lax.shift_right_logical(idx, 7), 7)
+            if P == 1:
+                w = pl.multiple_of(win(v, 1), SUB)
+                xw = x_ref[pl.ds(w, SUB), :]
+                g = jnp.take_along_axis(xw, q, axis=0)
+                g = jnp.take_along_axis(g, lam, axis=1)
+            else:
+                # static round unroll: a dynamic (while) loop would
+                # serialize the vector pipeline; fine-grained P classes
+                # keep the padding small instead.  The round tag is
+                # CELL data (wplan: one cell = one x word = one
+                # window), so rounds combine BEFORE the lane gather by
+                # a masked-sum TREE over the sublane-gathered windows
+                # — one compare+select per round, the expensive lane
+                # gather runs once per vreg (1.82 -> 0.89 ns/vreg/
+                # round measured, tools/roundcost_ab.py).
+                crnd = jax.lax.shift_right_logical(idx, 10)
+                terms = []
+                for p in range(P):
+                    w = pl.multiple_of(win(v, 1 + p), SUB)
+                    xw = x_ref[pl.ds(w, SUB), :]
+                    sp = jnp.take_along_axis(xw, q, axis=0)
+                    terms.append(jnp.where(crnd == p, sp, 0.0))
+                while len(terms) > 1:
+                    terms = [terms[i] + terms[i + 1]
+                             if i + 1 < len(terms) else terms[i]
+                             for i in range(0, len(terms), 2)]
+                g = jnp.take_along_axis(terms[0], lam, axis=1)
+            prod = vals.astype(jnp.float32) * g
+            for L in range(R):
+                parts.append(jnp.sum(
+                    prod[L * stride:(L + 1) * stride], axis=0,
+                    keepdims=True))
+        out_ref[pl.ds(u * UNROLL * R, UNROLL * R), :] = \
+            jnp.concatenate(parts, 0)
+        return 0
+
+    jax.lax.fori_loop(0, BV // UNROLL, body, 0)
+
+
 def _make_colsum(P: int, S: int, NV: int, interpret: bool,
                  stride: int = SUB):
     """(wins (NV,P+1), vals (NV*8,128), idx (NV*8,128), x2d (S,128))
@@ -77,52 +141,8 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool,
     R = SUB // stride
 
     def kernel(win_ref, vals_ref, idx_ref, x_ref, out_ref):
-        def body(u, _):
-            parts = []
-            for k in range(UNROLL):
-                v = u * UNROLL + k
-                idx = idx_ref[pl.ds(v * SUB, SUB), :].astype(jnp.int32)
-                vals = vals_ref[pl.ds(v * SUB, SUB), :]
-                lam = jax.lax.bitwise_and(idx, 127)
-                q = jax.lax.bitwise_and(
-                    jax.lax.shift_right_logical(idx, 7), 7)
-                if P == 1:
-                    w = pl.multiple_of(win_ref[v, 1], SUB)
-                    xw = x_ref[pl.ds(w, SUB), :]
-                    g = jnp.take_along_axis(xw, q, axis=0)
-                    g = jnp.take_along_axis(g, lam, axis=1)
-                else:
-                    # static round unroll: a dynamic (while) loop would
-                    # serialize the vector pipeline; fine-grained P classes
-                    # keep the padding small instead.  The round tag is
-                    # CELL data (wplan: one cell = one x word = one
-                    # window), so rounds combine BEFORE the lane gather by
-                    # a masked-sum TREE over the sublane-gathered windows
-                    # — one compare+select per round, the expensive lane
-                    # gather runs once per vreg (1.82 -> 0.89 ns/vreg/
-                    # round measured, tools/roundcost_ab.py).
-                    crnd = jax.lax.shift_right_logical(idx, 10)
-                    terms = []
-                    for p in range(P):
-                        w = pl.multiple_of(win_ref[v, 1 + p], SUB)
-                        xw = x_ref[pl.ds(w, SUB), :]
-                        sp = jnp.take_along_axis(xw, q, axis=0)
-                        terms.append(jnp.where(crnd == p, sp, 0.0))
-                    while len(terms) > 1:
-                        terms = [terms[i] + terms[i + 1]
-                                 if i + 1 < len(terms) else terms[i]
-                                 for i in range(0, len(terms), 2)]
-                    g = jnp.take_along_axis(terms[0], lam, axis=1)
-                prod = vals.astype(jnp.float32) * g
-                for L in range(R):
-                    parts.append(jnp.sum(
-                        prod[L * stride:(L + 1) * stride], axis=0,
-                        keepdims=True))
-            out_ref[pl.ds(u * UNROLL * R, UNROLL * R), :] = \
-                jnp.concatenate(parts, 0)
-            return 0
-
-        jax.lax.fori_loop(0, BV // UNROLL, body, 0)
+        _colsum_body(P, stride, BV, UNROLL, win_ref, vals_ref, idx_ref,
+                     x_ref, out_ref)
 
     return pl.pallas_call(
         kernel,
@@ -144,6 +164,106 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
     )
+
+
+def _make_colsum_fused(streams, S: int, interpret: bool,
+                       val_dtype=jnp.float32):
+    """ONE pallas_call running EVERY static (P<=32) stream's colsum.
+
+    The per-stream launches each re-DMA the whole (S,128) x table into
+    VMEM (the dominant fixed cost on wide matrices: 19.4 MB on
+    livejournal, ~30 us x 12 launches) and pay their own pipeline ramp.
+    Here the grid covers all streams' chunks back-to-back; stream s's
+    operands use index maps CLAMPED to its own grid span [start_s,
+    start_s + nchunks_s), so Pallas's pipeliner only moves its blocks
+    while s is active (unchanged block index = no DMA), and the x table
+    block (constant index) is DMA'd ONCE for the whole call.  Bodies are
+    statically specialized per stream class under ``pl.when`` — same
+    math as _make_colsum (shared _colsum_body).
+
+    streams: [(P, stride, NV_padded)] with every P <= 32.
+    Returns fn(*per-stream (wins, vals, idx), x2d) -> [partials].
+    """
+    blks, nch = [], []
+    for (P, stride, NV) in streams:
+        b = BV_INTERPRET if interpret else (
+            BV_SMALL if NV <= BV_SMALL_MAX else BV)
+        blks.append(b)
+        nch.append(NV // b)
+    starts = [0]
+    for c in nch:
+        starts.append(starts[-1] + c)
+    total = starts[-1]
+
+    in_specs = []
+    for si, (P, stride, NV) in enumerate(streams):
+        b, s0, n_s = blks[si], starts[si], nch[si]
+
+        def bmap(t, s0=s0, n_s=n_s):
+            return (jnp.clip(t - s0, 0, n_s - 1), 0)
+
+        def bmap_t(t, s0=s0, n_s=n_s):
+            return (0, jnp.clip(t - s0, 0, n_s - 1))
+
+        in_specs += [
+            # wins TRANSPOSED (P+1, b): SMEM bills 512 B per row, so a
+            # (b, P+1) block would cost b lines x 12 streams x 2 buffers
+            # (measured 1.5 MB > the 1 MB SMEM)
+            pl.BlockSpec((P + 1, b), bmap_t, memory_space=pltpu.SMEM),
+            pl.BlockSpec((b * SUB, LANES), bmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b * SUB, LANES), bmap,
+                         memory_space=pltpu.VMEM),
+        ]
+    in_specs.append(pl.BlockSpec((S, LANES), lambda t: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    out_specs, out_shape = [], []
+    for si, (P, stride, NV) in enumerate(streams):
+        b, s0, n_s = blks[si], starts[si], nch[si]
+        R = SUB // stride
+
+        def omap(t, s0=s0, n_s=n_s):
+            return (jnp.clip(t - s0, 0, n_s - 1), 0)
+
+        out_specs.append(pl.BlockSpec((b * R, LANES), omap,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((NV * R, LANES),
+                                              jnp.float32))
+
+    def kernel(*refs):
+        t = pl.program_id(0)
+        x_ref = refs[3 * len(streams)]
+        outs = refs[3 * len(streams) + 1:]
+        for si, (P, stride, NV) in enumerate(streams):
+            b, s0, n_s = blks[si], starts[si], nch[si]
+            UNROLL = UNROLL_INTERPRET if interpret else min(CS_UNROLL, b)
+            win_ref, vals_ref, idx_ref = refs[3 * si:3 * si + 3]
+
+            @pl.when((t >= s0) & (t < s0 + n_s))
+            def _(si=si, P=P, stride=stride, b=b, UNROLL=UNROLL,
+                  win_ref=win_ref, vals_ref=vals_ref, idx_ref=idx_ref):
+                _colsum_body(P, stride, b, UNROLL, win_ref, vals_ref,
+                             idx_ref, x_ref, outs[si], win_t=True)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(total,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )
+
+    def fn(stream_args, x2d):
+        flat = []
+        for (wins, vals, idx) in stream_args:
+            flat += [wins.T, vals, idx]     # .T: see the SMEM row note
+        out = call(*flat, x2d)
+        return list(out) if isinstance(out, (tuple, list)) else [out]
+
+    return fn
 
 
 KV_SPMM = 4      # x vectors per multi-vector colsum pass (SpMM): the A
@@ -831,18 +951,41 @@ def prep_x(meta: WMeta, x: np.ndarray, col_perm=None):
     return xp.reshape(meta.s_rows, LANES)
 
 
+# Fused multi-stream colsum: measured a LOSS on livejournal v6
+# (tools/fused_ab.py, same-window: per-stream 6581 vs fused 8271
+# us/iter) — the per-launch x-table reload it eliminates (~30 us x 11)
+# is an order smaller than whatever the mono-kernel costs Mosaic's
+# pipeliner across 37 blocked operands.  Kept for the record + tests;
+# default OFF.
+FUSED_COLSUM = os.environ.get("DASP_FUSED_COLSUM", "0") == "1"
+
+
 def spmv_fn(meta: WMeta, arrays: Dict, x2d):
     """Jittable windowed SpMV: x2d (s_rows,128) f32 (or {"hi","lo"} pair
     for f64) -> y (n_rows,)."""
     if meta.dtype == "f64":
         return _spmv_dd(meta, arrays, x2d)
-    partials = []
-    for (P, stride, NV), st in zip(meta.streams, arrays["streams"]):
+    partials = [None] * len(meta.streams)
+    static = [si for si, (P, _, _) in enumerate(meta.streams) if P <= 32]
+    if FUSED_COLSUM and len(static) > 1:
+        fused = _make_colsum_fused([meta.streams[si] for si in static],
+                                   meta.s_rows, meta.interpret)
+        outs = fused([(arrays["streams"][si]["wins"],
+                       arrays["streams"][si]["vals"],
+                       arrays["streams"][si]["idx"]) for si in static],
+                     x2d)
+        for si, p in zip(static, outs):
+            partials[si] = p
+        static = []
+    for si, ((P, stride, NV), st) in enumerate(zip(meta.streams,
+                                                   arrays["streams"])):
+        if partials[si] is not None:
+            continue
         if P <= 32:
             call = _make_colsum(P, meta.s_rows, NV, meta.interpret, stride)
         else:
             call = _make_colsum_dyn(P, meta.s_rows, NV, meta.interpret)
-        partials.append(call(st["wins"], st["vals"], st["idx"], x2d))
+        partials[si] = call(st["wins"], st["vals"], st["idx"], x2d)
     y = _assemble_y(meta, arrays, partials, x2d)
     if meta.dtype == "bf16":
         return y.astype(jnp.bfloat16)
@@ -942,30 +1085,44 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
     from . import dd
     xh, xl = x2d["hi"], x2d["lo"]
     dd_f32 = meta.dd_f32 or (False,) * len(meta.streams)
-    partials = []
-    for (P, stride, NV), st, f32cs in zip(meta.streams, arrays["streams"],
-                                          dd_f32):
+    partials = [None] * len(meta.streams)
+    # Big-plan f32-colsum tier (DD_F32_COLSUM_P): products and sublane
+    # sums in plain f32 over the hi halves; the lo partial is
+    # identically zero and every downstream reduction stays compensated
+    # dd, bounding the error at ~2^-23 of the row's absolute mass
+    # (inside main_f64.cu:8's 1e-5 contract).  Static f32-tier streams
+    # fuse into ONE kernel (shared xh load; see _make_colsum_fused).
+    f32_static = [si for si, (P, _, _) in enumerate(meta.streams)
+                  if dd_f32[si] and P <= 32]
+    if FUSED_COLSUM and len(f32_static) > 1:
+        fused = _make_colsum_fused([meta.streams[si] for si in f32_static],
+                                   meta.s_rows, meta.interpret)
+        outs = fused([(arrays["streams"][si]["wins"],
+                       arrays["streams"][si]["vals_hi"],
+                       arrays["streams"][si]["idx"])
+                      for si in f32_static], xh)
+        for si, h in zip(f32_static, outs):
+            partials[si] = (h, jnp.zeros_like(h))
+    for si, ((P, stride, NV), st, f32cs) in enumerate(
+            zip(meta.streams, arrays["streams"], dd_f32)):
+        if partials[si] is not None:
+            continue
         if f32cs:
-            # Big-plan f32-colsum tier (DD_F32_COLSUM_P): products and
-            # sublane sums in plain f32 over the hi halves; the lo
-            # partial is identically zero and every downstream reduction
-            # stays compensated dd, bounding the error at ~2^-23 of the
-            # row's absolute mass (inside main_f64.cu:8's 1e-5 contract).
             if P <= 32:
                 call = _make_colsum(P, meta.s_rows, NV, meta.interpret,
                                     stride)
             else:
                 call = _make_colsum_dyn(P, meta.s_rows, NV, meta.interpret)
             h = call(st["wins"], st["vals_hi"], st["idx"], xh)
-            partials.append((h, jnp.zeros_like(h)))
+            partials[si] = (h, jnp.zeros_like(h))
             continue
         if P <= 32:
             call = _make_colsum_dd(P, meta.s_rows, NV, meta.interpret,
                                    stride)
         else:
             call = _make_colsum_dyn_dd(P, meta.s_rows, NV, meta.interpret)
-        partials.append(call(st["wins"], st["vals_hi"], st["vals_lo"],
-                             st["idx"], xh, xl))
+        partials[si] = call(st["wins"], st["vals_hi"], st["vals_lo"],
+                            st["idx"], xh, xl)
 
     y2h_parts, y2l_parts = [], []
     for stream, off, n_slices, w8, stride in meta.sell_segs:
