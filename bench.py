@@ -46,7 +46,8 @@ BCOO_RISK_NNZ = 19_000_000
 #     P-cost; same-window scircuit f32 A/B v2 37-39 vs v3 42-43 GF)
 # v4: round tag moved from slot to cell bits (wplan.py)
 # v5: window-capacity w8 floor + MED_BUCKETS 32/64 classes (R-MAT)
-PLAN_CACHE_VER = 6     # v6: s_rows-aware stream-merge fixed cost
+# v6: s_rows-aware stream-merge fixed cost
+PLAN_CACHE_VER = 7     # v7: row length-grouping composes with sym relabel
 
 
 class _Summary:

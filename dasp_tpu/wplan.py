@@ -170,10 +170,13 @@ class WPlan:
     # column map; x must be scattered through it before entering the kernels
     # (ops.pallas_backend.prep_x).  None = identity.
     col_perm: Optional[np.ndarray] = None
-    # Square matrices are permuted SYMMETRICALLY (row_perm is col_perm):
-    # the kernels emit y in the permuted row order and callers decode with
+    # Square matrices are permuted SYMMETRICALLY, and an independent row
+    # length-grouping may compose on top (row_perm = rs[col_perm]): the
+    # kernels emit y in the permuted row order and callers decode with
     # y_original = y[row_perm] (one host gather, same contract as the
     # reference's order_rid, dasp_f64.h:959-976).  None = original order.
+    # row_perm == col_perm iff x and y share one index space (on-device
+    # iteration; consumers that need it pass config.row_sort="off").
     row_perm: Optional[np.ndarray] = None
 
     def check(self) -> None:
@@ -207,9 +210,9 @@ class WPlan:
             assert _is_perm(self.col_perm, self.n_cols), \
                 "col_perm must be a permutation"
         if self.row_perm is not None:
-            # Two producers: the symmetric relabel (row_perm == col_perm,
-            # shared x/y space) or the independent row length-grouping
-            # (order_rid analog; col_perm may be None or differ).
+            # Producers: the symmetric relabel (row_perm == col_perm,
+            # shared x/y space), the independent row length-grouping
+            # (order_rid analog), or their composition rs[col_perm].
             assert self.row_perm.shape == (self.n_rows,)
             if self.row_perm is not self.col_perm:
                 assert _is_perm(self.row_perm, self.n_rows), \
@@ -693,16 +696,25 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
             col_perm = col_perm.astype(np.int32)
             row_perm = col_perm if sym else None
     # Independent row length-grouping (the reference's order_rid,
-    # dasp_f64.h:959-976): never on top of a symmetric relabel — that
-    # would break the shared x/y index space on-device iteration needs.
-    if config.row_sort != "off" and csr.nnz and row_perm is None:
+    # dasp_f64.h:959-976).  It COMPOSES on top of a symmetric relabel
+    # (row_perm = rs[col_perm]): the decoupling gives up the shared x/y
+    # index space that on-device iteration (CG/PageRank) feeds through —
+    # iterative consumers pass row_sort="off" (examples/) — but on
+    # power-law graphs the win is decisive: livejournal_like relabeled
+    # blocks mix 2-nnz and 200-nnz rows, packing the SELL streams at 19%
+    # fill (34.5M slots for 6.7M elements); the length-grouped model
+    # costs 24x fewer quantized slots AND 29% fewer (block, window)
+    # pairs (tools/rowsort_model.py — long rows concentrated in few
+    # blocks SHARE their window spans instead of poisoning every block).
+    if config.row_sort != "off" and csr.nnz:
         from .relabel import (apply_row_perm, choose_row_sort,
                               row_sort_perm)
         rs = (row_sort_perm(csr) if config.row_sort == "on"
               else choose_row_sort(csr, config.block_longest))
         if rs is not None:
             csr = apply_row_perm(csr, rs)
-            row_perm = rs.astype(np.int32)
+            row_perm = (rs if row_perm is None
+                        else rs[row_perm]).astype(np.int32)
     n = csr.n_rows
     lens = csr.row_lengths.astype(np.int64)
     rpt = csr.row_ptr.astype(np.int64)

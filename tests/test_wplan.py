@@ -446,9 +446,15 @@ def test_relabel_symmetric_square(rng):
     from dasp_tpu.config import DaspConfig
     from dasp_tpu.ops.pallas_backend import PallasSpMV
     csr = powerlaw_like(1500, 1.7, 1500, rng, col_alpha=1.6)
-    plan = build_wplan(csr, DaspConfig(relabel="first_touch"))
+    # row_sort="off" pins the shared space (the default "auto" may
+    # compose an independent length-grouping on top, trading the shared
+    # space for fill — see test_row_sort_composes_with_sym_relabel)
+    cfg = DaspConfig(relabel="first_touch", row_sort="off")
+    plan = build_wplan(csr, cfg)
     assert plan.row_perm is not None
-    op = PallasSpMV(csr, dtype="f32", config=DaspConfig(relabel="first_touch"))
+    assert plan.row_perm is plan.col_perm or np.array_equal(
+        plan.row_perm, plan.col_perm)
+    op = PallasSpMV(csr, dtype="f32", config=cfg)
     x = rng.standard_normal(csr.n_cols)
     golden = csr.spmv(x)
     scale = np.maximum(np.abs(golden), 1.0)
@@ -583,3 +589,31 @@ def test_row_sort_length_grouping(rng):
         p2 = load_wplan(path)
         if op.plan.row_perm is not None:
             np.testing.assert_array_equal(p2.row_perm, op.plan.row_perm)
+
+
+def test_row_sort_composes_with_sym_relabel(rng):
+    """Length-grouping COMPOSES with the symmetric relabel
+    (row_perm = rs[col_perm], wplan.py): a power-law square matrix whose
+    relabeled blocks mix 2-nnz and 200-nnz rows must end up with
+    row_perm != col_perm, a much lower quantized-width mass than the
+    relabel alone, and a transparent operator (op(x) == golden in
+    original order).  The livejournal_like finding behind this:
+    19%-fill SELL streams, 24x modeled slot cut (tools/rowsort_model.py)."""
+    from dasp_tpu.config import DaspConfig
+    from dasp_tpu.ops.pallas_backend import PallasSpMV
+    csr = powerlaw_like(2000, 1.7, 2000, rng, col_alpha=1.5)
+    plan = build_wplan(csr, DaspConfig(relabel="first_touch"))
+    assert plan.col_perm is not None
+    assert plan.row_perm is not None
+    assert not np.array_equal(plan.row_perm, plan.col_perm), \
+        "auto length-grouping should engage on mixed-length power law"
+    plan.check()
+    x = rng.standard_normal(csr.n_cols)
+    golden = csr.spmv(x)
+    np.testing.assert_allclose(_emulate(plan, x), golden,
+                               rtol=1e-11, atol=1e-11)
+    op = PallasSpMV(plan, dtype="f32",
+                    config=DaspConfig(relabel="first_touch"))
+    scale = np.maximum(np.abs(golden), 1.0)
+    np.testing.assert_allclose(op(x) / scale, golden / scale,
+                               rtol=2e-5, atol=2e-5)
