@@ -711,6 +711,52 @@ def _make_outgather(B: int, R2: int, K: int, interpret: bool):
     )
 
 
+def _og_split(gmax: np.ndarray, k_used: int
+              ) -> Tuple[Tuple[int, int, int], ...]:
+    """Partition the outgather's OB groups into <= 3 contiguous ranges,
+    each priced at its own static K (= max used slots in the range).
+
+    Cost model: a range of L groups at K costs L*K group-slot units
+    (~0.3 us each measured: 705 us / (592 groups x 4 slots) on
+    livejournal); every extra launch pays LAUNCH_PEN for the pipeline
+    ramp plus its share of the XLA output concat (~19 MB y copy on
+    livejournal-size plans).  gmax: per-OB-group max used slots."""
+    G = int(gmax.size)
+    best_cost = float(G * k_used)
+    best = ((0, G, k_used),)
+    if G < 2:
+        return ((0, G * OB, k_used),)
+    LAUNCH_PEN = 96.0
+    pre = np.maximum.accumulate(gmax)
+    suf = np.maximum.accumulate(gmax[::-1])[::-1]
+    cs = np.arange(1, G)
+    cost2 = cs * pre[cs - 1] + (G - cs) * suf[cs] + LAUNCH_PEN
+    i = int(np.argmin(cost2))
+    if cost2[i] < best_cost:
+        c = int(cs[i])
+        best_cost = float(cost2[i])
+        best = ((0, c, int(pre[c - 1])), (c, G, int(suf[c])))
+    # 3-way: the first cut only pays where the suffix max drops (at most
+    # k_used-1 positions), the second scans vectorized
+    drops = (np.flatnonzero(np.diff(suf) != 0) + 1)[:8]
+    for c1 in drops:
+        c1 = int(c1)
+        cs2 = np.arange(c1 + 1, G)
+        if not cs2.size:
+            continue
+        mid = np.maximum.accumulate(gmax[c1:])
+        cost3 = (c1 * pre[c1 - 1] + (cs2 - c1) * mid[cs2 - c1 - 1]
+                 + (G - cs2) * suf[cs2] + 2 * LAUNCH_PEN)
+        j = int(np.argmin(cost3))
+        if cost3[j] < best_cost:
+            c2 = int(cs2[j])
+            best_cost = float(cost3[j])
+            best = ((0, c1, int(pre[c1 - 1])),
+                    (c1, c2, int(mid[c2 - c1 - 1])),
+                    (c2, G, int(suf[c2])))
+    return tuple((b0 * OB, b1 * OB, k) for b0, b1, k in best)
+
+
 # ---------------------------------------------------------------------------
 # Plan lowering
 # ---------------------------------------------------------------------------
@@ -735,6 +781,16 @@ class WMeta(NamedTuple):
     # per-stream flag: colsum runs in plain f32 (dd plans over the
     # big-streamed-plan gate; see DD_F32_COLSUM_P).  () = all-dd.
     dd_f32: Tuple[bool, ...] = ()
+    # Contiguous OB-aligned block ranges (b0, b1, K) for the streamed
+    # outgather: slot usage is NOT uniform over blocks (length-grouped
+    # livejournal: 37306 blocks use 2 slots, 373 blocks — concentrated at
+    # the long/bucket front — use 3-4), and the kernel's cost is row
+    # LOADS, K per block, zero-source slots included.  Splitting into a
+    # few static-K launches prices each region at its own max
+    # (tools/assembly_attrib.py: k_used=4 single-launch outgather 705
+    # us/iter on livejournal, ~4.7 ns per block-slot).  () = one range
+    # at k_used (multichip pins k_sources for cross-chip uniformity).
+    og_ranges: Tuple[Tuple[int, int, int], ...] = ()
 
 
 @gc_paused
@@ -886,6 +942,21 @@ def plan_to_arrays(plan, dtype: str = "f32",
     arrays["out_src"] = src[:, :k_used].copy()
     arrays["out_perm"] = perm[:k_used].copy()
 
+    # Range-split outgather (see WMeta.og_ranges): partition the OB
+    # groups into <= 3 contiguous ranges, each launched at its own
+    # static K.  Skipped when the caller pins k_sources (multichip needs
+    # one shape signature across chips).
+    og_ranges = ((0, B_pad, k_used),)
+    if k_sources is None and k_used > 1:
+        gmax = np.maximum(
+            last.reshape(-1, OB).max(axis=1), 1).astype(np.int64)
+        og_ranges = _og_split(gmax, k_used)
+    if len(og_ranges) > 1:
+        arrays["og_src"] = [src[b0:b1, :k].copy()
+                            for b0, b1, k in og_ranges]
+        arrays["og_perm"] = [perm[:k, b0:b1].copy()
+                             for b0, b1, k in og_ranges]
+
     # Conflict rejects were already re-routed into shared rem2/rem3 slices
     # by the packer; only the (tiny) final dregs run here as a plain COO
     # gather + scatter-add (cheap because the element count is tiny).
@@ -925,7 +996,7 @@ def plan_to_arrays(plan, dtype: str = "f32",
                  n_long=plan.n_long, n_long_rows=n_long_rows,
                  n_y2_rows=plan.n_y2_rows, B_pad=B_pad,
                  overflow_meta=overflow_meta, interpret=not _on_tpu(),
-                 k_used=k_used, dd_f32=dd_f32)
+                 k_used=k_used, dd_f32=dd_f32, og_ranges=og_ranges)
     return meta, arrays
 
 
@@ -1031,9 +1102,18 @@ def _assemble_y(meta: WMeta, arrays: Dict, partials, x2d):
     y2_parts.append(jnp.zeros((1, LANES), jnp.float32))      # zero row
     y2 = jnp.concatenate(y2_parts, axis=0)
 
-    out = _make_outgather(meta.B_pad, y2.shape[0], meta.k_used,
-                          meta.interpret)(
-        arrays["out_src"], arrays["out_perm"], y2)
+    if len(meta.og_ranges) > 1:
+        parts = [
+            _make_outgather(b1 - b0, y2.shape[0], k, meta.interpret)(
+                s, p, y2)
+            for (b0, b1, k), s, p in zip(meta.og_ranges,
+                                         arrays["og_src"],
+                                         arrays["og_perm"])]
+        out = jnp.concatenate(parts, axis=0)
+    else:
+        out = _make_outgather(meta.B_pad, y2.shape[0], meta.k_used,
+                              meta.interpret)(
+            arrays["out_src"], arrays["out_perm"], y2)
     y = out.reshape(-1)[:meta.n_rows]
 
     if arrays["overflow"] is not None:
@@ -1183,9 +1263,19 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
     y2h = jnp.concatenate(y2h_parts, axis=0)
     y2l = jnp.concatenate(y2l_parts, axis=0)
 
-    oh, ol = _make_outgather_dd(meta.B_pad, y2h.shape[0], meta.k_used,
-                                meta.interpret)(
-        arrays["out_src"], arrays["out_perm"], y2h, y2l)
+    if len(meta.og_ranges) > 1:
+        phl = [
+            _make_outgather_dd(b1 - b0, y2h.shape[0], k, meta.interpret)(
+                s, p, y2h, y2l)
+            for (b0, b1, k), s, p in zip(meta.og_ranges,
+                                         arrays["og_src"],
+                                         arrays["og_perm"])]
+        oh = jnp.concatenate([a for a, _ in phl], axis=0)
+        ol = jnp.concatenate([b for _, b in phl], axis=0)
+    else:
+        oh, ol = _make_outgather_dd(meta.B_pad, y2h.shape[0], meta.k_used,
+                                    meta.interpret)(
+            arrays["out_src"], arrays["out_perm"], y2h, y2l)
     yh = oh.reshape(-1)[:meta.n_rows]
     yl = ol.reshape(-1)[:meta.n_rows]
 

@@ -1509,7 +1509,16 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # costs ~4x less than a dynamic-round one, so the dyn classes are only
     # the fallback when padding would exceed DYN_PAD_MAX.
     LONG_WIN_CAP = P_CLASSES[-1]
-    DYN_PAD_MAX = 4
+    # Static-split padding cap for long vregs whose sorted columns span
+    # more than 32 windows.  Measured on rmat_like (the first suite arm
+    # to actually hit the dynamic classes on TPU, 2026-08-20): the
+    # serialized dynamic-round colsum costs ~218 ns/vreg/round — 245x
+    # the static kernel's 0.89 — so 1082 dyn vregs (P=256/512) ran 59 ms
+    # of a 65 ms iteration.  Static splitting wins up to ~200x padding;
+    # 32 is the structural worst case (32 windows x 1 element each per
+    # 1024-slot vreg), so the dyn classes are now reachable only by
+    # inputs denser than one element per window at P > LONG_P_CAP.
+    DYN_PAD_MAX = 32
     row_cols: List[np.ndarray] = []   # per ROW, in vreg-emission order
     row_vals: List[np.ndarray] = []
     vreg_sizes: List[int] = []        # per vreg

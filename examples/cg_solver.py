@@ -31,6 +31,21 @@ def build_spd(n: int, rng) -> "dasp_tpu.CSRMatrix":
                              np.concatenate(vals), sum_duplicates=True)
 
 
+
+def _require_shared_space(op, who):
+    """On-device CG feeds y back into x: the operator must carry ONE
+    shared x/y index space.  The default row_sort="auto" may compose an
+    independent row length-grouping on top of a symmetric relabel
+    (wplan.py), decoupling the spaces -- pack with row_sort="off"."""
+    pl = op.plan
+    if pl.row_perm is not None and (
+            pl.col_perm is None
+            or not np.array_equal(pl.row_perm, pl.col_perm)):
+        raise ValueError(
+            f"{who} iterates on-device and needs x and y in one "
+            "index space: build the operator with "
+            "DaspConfig(row_sort='off')")
+
 def cg_solve_dd(op, b: np.ndarray, tol: float = None,
                 maxiter: int = 4000):
     """CG in double-double (f32x2) precision on-device: op is a
@@ -43,6 +58,8 @@ def cg_solve_dd(op, b: np.ndarray, tol: float = None,
     import jax.numpy as jnp
     from dasp_tpu.ops import dd
     from dasp_tpu.ops.pallas_backend import spmv_fn
+
+    _require_shared_space(op, "cg_solve_dd()")
 
     meta, arrays = op._meta, op._arrays
     n = op.n_rows
@@ -98,6 +115,8 @@ def cg_solve(op, b: np.ndarray, tol: float = 1e-6, maxiter: int = 500):
     import jax
     import jax.numpy as jnp
     from dasp_tpu.ops.pallas_backend import spmv_fn, prep_x
+
+    _require_shared_space(op, "cg_solve()")
 
     meta, arrays = op._meta, op._arrays
     n = op.n_rows

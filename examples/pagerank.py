@@ -35,6 +35,18 @@ def pagerank(op, damping: float = 0.85, iters: int = 50):
     import jax.numpy as jnp
     from dasp_tpu.ops.pallas_backend import spmv_fn
 
+    # The on-device loop feeds y straight back into x: the operator must
+    # carry ONE shared x/y index space (pack with row_sort="off"; the
+    # default "auto" may compose an independent row length-grouping on
+    # top of a symmetric relabel, decoupling the two spaces).
+    p = op.plan
+    if p.row_perm is not None and (
+            p.col_perm is None
+            or not np.array_equal(p.row_perm, p.col_perm)):
+        raise ValueError(
+            "pagerank() iterates on-device and needs x and y in one "
+            "index space: build the operator with "
+            "DaspConfig(row_sort='off')")
     meta, arrays = op._meta, op._arrays
     # cache the jitted loop per (damping, iters): a fresh jit every call
     # would retrace and re-dispatch the whole program each time

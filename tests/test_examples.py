@@ -4,6 +4,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 EX = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "examples")
@@ -25,7 +26,16 @@ def test_pagerank_example(rng):
     import pagerank
     import dasp_tpu
     csr = pagerank.build_transition(1500, rng)
-    op = dasp_tpu.SpMVOperator(csr, dtype="f32", backend="pallas")
+    # default config may decouple the x/y spaces (row-sort composition):
+    # the on-device loop requires the shared space and must say so
+    op_bad = dasp_tpu.SpMVOperator(csr, dtype="f32", backend="pallas")
+    if op_bad.plan.row_perm is not None and not np.array_equal(
+            op_bad.plan.row_perm, op_bad.plan.col_perm):
+        with pytest.raises(ValueError, match="one\\s+index space"):
+            pagerank.pagerank(op_bad, iters=2)
+    op = dasp_tpu.SpMVOperator(
+        csr, dtype="f32", backend="pallas",
+        config=dasp_tpu.DaspConfig(row_sort="off"))
     r = pagerank.pagerank(op, iters=30)
     assert r.shape == (csr.n_rows,)
     rh = np.full(csr.n_rows, 1.0 / csr.n_rows)

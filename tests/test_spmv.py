@@ -204,3 +204,35 @@ def test_spmv_fused_colsum_matches(rng, monkeypatch):
     assert sum(P <= 32 for P, _, _ in op._meta.streams) > 1
     y1 = np.asarray(op(x))
     np.testing.assert_array_equal(y0, y1)
+
+
+def test_outgather_range_split_matches(rng):
+    """The range-split outgather (WMeta.og_ranges: per-range static K
+    launches over contiguous OB-aligned block ranges, concatenated) is
+    bit-exact vs the single-launch form.  Real splits only engage past
+    ~100 OB groups (LAUNCH_PEN), so the multi-launch path is forced
+    here by hand-building the per-range tables the lowering would
+    produce."""
+    from dasp_tpu.ops import pallas_backend as pb
+    from dasp_tpu.wplan import build_wplan
+    csr = mixed_categories(9000, rng)        # > 64 blocks = 2 OB groups
+    x = rng.standard_normal(csr.n_cols)
+    plan = build_wplan(csr)
+    for dtype in ("f32", "f64"):
+        meta, arrays = pb.plan_to_arrays(plan, dtype)
+        assert len(meta.og_ranges) == 1          # too small to pay a split
+        xd = pb.prep_x(meta, x, plan.col_perm)
+        y0 = pb.spmv_fn(meta, arrays, xd)
+        B, K = meta.B_pad, meta.k_used
+        assert B >= 2 * pb.OB, "need two OB groups to split"
+        cut = pb.OB * (B // pb.OB // 2)
+        src, perm = arrays["out_src"], arrays["out_perm"]
+        arrays["og_src"] = [src[:cut], src[cut:]]
+        arrays["og_perm"] = [perm[:, :cut], perm[:, cut:]]
+        meta2 = meta._replace(og_ranges=((0, cut, K), (cut, B, K)))
+        y1 = pb.spmv_fn(meta2, arrays, xd)
+        if dtype == "f64":
+            np.testing.assert_array_equal(y0["hi"], y1["hi"])
+            np.testing.assert_array_equal(y0["lo"], y1["lo"])
+        else:
+            np.testing.assert_array_equal(y0, y1)
