@@ -23,10 +23,13 @@ FIELDS = [
     # (a TPU-runtime cost with no CUDA analog, amortized by the
     # persistent cache) — split so the two are checkable separately
     "dasp_pre", "pack_seconds", "compile_seconds",
-    # element count of the COO-dreg residue the packer could not route
-    # (<0.01% of nnz by construction); the resident executor applies its
-    # correction once per call rather than per iteration, so the benched
-    # number's distortion is bounded by this count (docs/DESIGN.md §8)
+    # element count of the COO-dreg residue the packer could not route.
+    # Usually <0.01% of nnz; clustered-community graphs (rmat_like)
+    # measured up to ~3.6% on the round-4 format — no hard bound is
+    # enforced, so watch this column (docs/DESIGN.md §7c/§8).  The
+    # resident executor applies its correction once per call rather
+    # than per iteration, so the benched number's distortion is bounded
+    # by this count
     "coo_residue",
     "dasp_time", "dasp_gflops",
     "dasp_bandwidth1", "dasp_bandwidth2",

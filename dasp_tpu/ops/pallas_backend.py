@@ -61,20 +61,14 @@ def _on_tpu() -> bool:
 
 
 def _colsum_body(P, stride, BV, UNROLL, win_ref, vals_ref, idx_ref,
-                 x_ref, out_ref, win_t: bool = False):
+                 x_ref, out_ref):
     """Shared per-block colsum math (see _make_colsum's docstring): the
     unrolled per-vreg 2-stage gather + masked round tree + per-level
-    sublane sums, writing (BV * 8//stride, 128) level rows.
-
-    ``win_t``: the wins block is TRANSPOSED (P+1, BV).  SMEM charges a
-    full 512 B line per ROW, so a (BV, P+1) block costs BV lines — the
-    fused multi-stream kernel's 12 double-buffered wins blocks at
-    BV=128 overflowed the 1 MB SMEM (measured 1.5 MB); transposed they
-    cost P+1 lines each (~140 total)."""
+    sublane sums, writing (BV * 8//stride, 128) level rows."""
     R = SUB // stride
 
     def win(v, j):
-        return win_ref[j, v] if win_t else win_ref[v, j]
+        return win_ref[v, j]
 
     def body(u, _):
         parts = []
@@ -129,8 +123,8 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool,
     """(wins (NV,P+1), vals (NV*8,128), idx (NV*8,128), x2d (S,128))
     -> per-level column sums (NV * 8//stride, 128) f32.
 
-    wins[:, 0] is the per-vreg round count (reserved for a future dynamic
-    path); wins[:, 1+p] the window row offsets.  Rounds are statically
+    wins[:, 0] is the per-vreg round count (diagnostic; the kernel uses
+    only the static P); wins[:, 1+p] the window row offsets.  Rounds are statically
     unrolled per stream class P.  ``stride`` < 8 sums groups of ``stride``
     sublanes separately: a strided slice hosts 8/stride row LEVELS per
     lane (short-row packing, the TPU shape of the reference's
@@ -164,106 +158,6 @@ def _make_colsum(P: int, S: int, NV: int, interpret: bool,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
     )
-
-
-def _make_colsum_fused(streams, S: int, interpret: bool,
-                       val_dtype=jnp.float32):
-    """ONE pallas_call running EVERY static (P<=32) stream's colsum.
-
-    The per-stream launches each re-DMA the whole (S,128) x table into
-    VMEM (the dominant fixed cost on wide matrices: 19.4 MB on
-    livejournal, ~30 us x 12 launches) and pay their own pipeline ramp.
-    Here the grid covers all streams' chunks back-to-back; stream s's
-    operands use index maps CLAMPED to its own grid span [start_s,
-    start_s + nchunks_s), so Pallas's pipeliner only moves its blocks
-    while s is active (unchanged block index = no DMA), and the x table
-    block (constant index) is DMA'd ONCE for the whole call.  Bodies are
-    statically specialized per stream class under ``pl.when`` — same
-    math as _make_colsum (shared _colsum_body).
-
-    streams: [(P, stride, NV_padded)] with every P <= 32.
-    Returns fn(*per-stream (wins, vals, idx), x2d) -> [partials].
-    """
-    blks, nch = [], []
-    for (P, stride, NV) in streams:
-        b = BV_INTERPRET if interpret else (
-            BV_SMALL if NV <= BV_SMALL_MAX else BV)
-        blks.append(b)
-        nch.append(NV // b)
-    starts = [0]
-    for c in nch:
-        starts.append(starts[-1] + c)
-    total = starts[-1]
-
-    in_specs = []
-    for si, (P, stride, NV) in enumerate(streams):
-        b, s0, n_s = blks[si], starts[si], nch[si]
-
-        def bmap(t, s0=s0, n_s=n_s):
-            return (jnp.clip(t - s0, 0, n_s - 1), 0)
-
-        def bmap_t(t, s0=s0, n_s=n_s):
-            return (0, jnp.clip(t - s0, 0, n_s - 1))
-
-        in_specs += [
-            # wins TRANSPOSED (P+1, b): SMEM bills 512 B per row, so a
-            # (b, P+1) block would cost b lines x 12 streams x 2 buffers
-            # (measured 1.5 MB > the 1 MB SMEM)
-            pl.BlockSpec((P + 1, b), bmap_t, memory_space=pltpu.SMEM),
-            pl.BlockSpec((b * SUB, LANES), bmap,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b * SUB, LANES), bmap,
-                         memory_space=pltpu.VMEM),
-        ]
-    in_specs.append(pl.BlockSpec((S, LANES), lambda t: (0, 0),
-                                 memory_space=pltpu.VMEM))
-    out_specs, out_shape = [], []
-    for si, (P, stride, NV) in enumerate(streams):
-        b, s0, n_s = blks[si], starts[si], nch[si]
-        R = SUB // stride
-
-        def omap(t, s0=s0, n_s=n_s):
-            return (jnp.clip(t - s0, 0, n_s - 1), 0)
-
-        out_specs.append(pl.BlockSpec((b * R, LANES), omap,
-                                      memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((NV * R, LANES),
-                                              jnp.float32))
-
-    def kernel(*refs):
-        t = pl.program_id(0)
-        x_ref = refs[3 * len(streams)]
-        outs = refs[3 * len(streams) + 1:]
-        for si, (P, stride, NV) in enumerate(streams):
-            b, s0, n_s = blks[si], starts[si], nch[si]
-            UNROLL = UNROLL_INTERPRET if interpret else min(CS_UNROLL, b)
-            win_ref, vals_ref, idx_ref = refs[3 * si:3 * si + 3]
-
-            @pl.when((t >= s0) & (t < s0 + n_s))
-            def _(si=si, P=P, stride=stride, b=b, UNROLL=UNROLL,
-                  win_ref=win_ref, vals_ref=vals_ref, idx_ref=idx_ref):
-                _colsum_body(P, stride, b, UNROLL, win_ref, vals_ref,
-                             idx_ref, x_ref, outs[si], win_t=True)
-
-    call = pl.pallas_call(
-        kernel,
-        grid=(total,),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024),
-    )
-
-    def fn(stream_args, x2d):
-        flat = []
-        for (wins, vals, idx) in stream_args:
-            flat += [wins.T, vals, idx]     # .T: see the SMEM row note
-        out = call(*flat, x2d)
-        return list(out) if isinstance(out, (tuple, list)) else [out]
-
-    return fn
 
 
 KV_SPMM = 4      # x vectors per multi-vector colsum pass (SpMM): the A
@@ -355,7 +249,6 @@ def _make_colsum_multi(P: int, S: int, NV: int, interpret: bool,
     )
 
 
-BV_DYN = 8       # vregs per dynamic-round grid step
 # dd plans whose streams exceed this (= the VMEM-resident budget: they will
 # stream from HBM every iteration) store the lo value stream as bf16
 DD_LO16_MIN_BYTES = int(os.environ.get("DASP_DD_LO16_MIN",
@@ -379,125 +272,6 @@ DD_LO16_MIN_BYTES = int(os.environ.get("DASP_DD_LO16_MIN",
 # DASP_DD_F32_FORCE=1 applies it regardless of plan size (tests / probes).
 DD_F32_COLSUM_P = int(os.environ.get("DASP_DD_F32_COLSUM_P", "1"))
 DD_F32_FORCE = os.environ.get("DASP_DD_F32_FORCE", "0") == "1"
-
-
-def _make_colsum_dyn(P: int, S: int, NV: int, interpret: bool):
-    """Dynamic-round colsum for streams with P > 32 rounds (column-sorted
-    long-row tails spanning hundreds of x windows).  The round loop is a
-    vector-carried ``fori_loop`` bounded by the per-vreg round count in
-    SMEM — Mosaic serializes it (~6x slower per round than the static
-    unroll), which is fine for the tiny vreg mass these streams carry;
-    the win is that the elements stay off the XLA COO fallback."""
-
-    def kernel(win_ref, vals_ref, idx_ref, x_ref, out_ref):
-        parts = []
-        for v in range(BV_DYN):
-            idx = idx_ref[pl.ds(v * SUB, SUB), :].astype(jnp.int32)
-            vals = vals_ref[pl.ds(v * SUB, SUB), :]
-            lam = jax.lax.bitwise_and(idx, 127)
-            q = jax.lax.bitwise_and(jax.lax.shift_right_logical(idx, 7), 7)
-            crnd = jax.lax.shift_right_logical(idx, 10)
-
-            def rbody(p, acc):
-                w = pl.multiple_of(win_ref[v, 1 + p], SUB)
-                xw = x_ref[pl.ds(w, SUB), :]
-                sp = jnp.take_along_axis(xw, q, axis=0)
-                return acc + jnp.where(crnd == p, sp, 0.0)
-
-            xsel = jax.lax.fori_loop(
-                0, win_ref[v, 0], rbody,
-                jnp.zeros((SUB, LANES), jnp.float32))
-            g = jnp.take_along_axis(xsel, lam, axis=1)
-            prod = vals.astype(jnp.float32) * g
-            parts.append(jnp.sum(prod, axis=0, keepdims=True))
-        out_ref[...] = jnp.concatenate(parts, 0)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(NV // BV_DYN,),
-        in_specs=[
-            pl.BlockSpec((BV_DYN, P + 1), lambda t: (t, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((BV_DYN * SUB, LANES), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BV_DYN * SUB, LANES), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, LANES), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((BV_DYN, LANES), lambda t: (t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NV, LANES), jnp.float32),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024),
-    )
-
-
-def _make_colsum_dyn_dd(P: int, S: int, NV: int, interpret: bool):
-    """dd variant of the dynamic-round colsum (see _make_colsum_dyn)."""
-    from . import dd
-
-    def kernel(win_ref, vh_ref, vl_ref, idx_ref, xh_ref, xl_ref,
-               oh_ref, ol_ref):
-        parts_h, parts_l = [], []
-        for v in range(BV_DYN):
-            idx = idx_ref[pl.ds(v * SUB, SUB), :].astype(jnp.int32)
-            vh = vh_ref[pl.ds(v * SUB, SUB), :]
-            # lo may be stored bf16 (big-plan footprint gate in
-            # plan_to_arrays); the upcast is a no-op for f32
-            vl = vl_ref[pl.ds(v * SUB, SUB), :].astype(jnp.float32)
-            lam = jax.lax.bitwise_and(idx, 127)
-            q = jax.lax.bitwise_and(jax.lax.shift_right_logical(idx, 7), 7)
-            crnd = jax.lax.shift_right_logical(idx, 10)
-
-            def rbody(p, acc):
-                ah, al = acc
-                w = pl.multiple_of(win_ref[v, 1 + p], SUB)
-                sel = crnd == p
-                sh = jnp.take_along_axis(xh_ref[pl.ds(w, SUB), :], q, axis=0)
-                sl = jnp.take_along_axis(xl_ref[pl.ds(w, SUB), :], q, axis=0)
-                return (jnp.where(sel, sh, ah), jnp.where(sel, sl, al))
-
-            zero = jnp.zeros((SUB, LANES), jnp.float32)
-            xh_sel, xl_sel = jax.lax.fori_loop(0, win_ref[v, 0], rbody,
-                                               (zero, zero))
-            gh = jnp.take_along_axis(xh_sel, lam, axis=1)
-            gl = jnp.take_along_axis(xl_sel, lam, axis=1)
-            ph, plo = dd.mul(vh, vl, gh, gl)
-            sh, sl = dd.sum_axis(ph, plo, 0)
-            parts_h.append(sh[None])
-            parts_l.append(sl[None])
-        oh_ref[...] = jnp.concatenate(parts_h, 0)
-        ol_ref[...] = jnp.concatenate(parts_l, 0)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(NV // BV_DYN,),
-        in_specs=[
-            pl.BlockSpec((BV_DYN, P + 1), lambda t: (t, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((BV_DYN * SUB, LANES), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BV_DYN * SUB, LANES), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BV_DYN * SUB, LANES), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, LANES), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, LANES), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(pl.BlockSpec((BV_DYN, LANES), lambda t: (t, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((BV_DYN, LANES), lambda t: (t, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((NV, LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((NV, LANES), jnp.float32)),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024),
-    )
 
 
 def _make_colsum_dd(P: int, S: int, NV: int, interpret: bool,
@@ -736,8 +510,11 @@ def _og_split(gmax: np.ndarray, k_used: int
         c = int(cs[i])
         best_cost = float(cost2[i])
         best = ((0, c, int(pre[c - 1])), (c, G, int(suf[c])))
-    # 3-way: the first cut only pays where the suffix max drops (at most
-    # k_used-1 positions), the second scans vectorized
+    # 3-way: seed first-cut candidates where the suffix max drops (at
+    # most k_used-1 positions; a heuristic — a beneficial first cut can
+    # also sit where the prefix max rises, which this skips; the 2-way
+    # scan above still covers one cut so results stay correct, only
+    # possibly non-optimal), the second cut scans vectorized
     drops = (np.flatnonzero(np.diff(suf) != 0) + 1)[:8]
     for c1 in drops:
         c1 = int(c1)
@@ -824,14 +601,20 @@ def plan_to_arrays(plan, dtype: str = "f32",
             # a multiple of the grid block)
             blk = BV_SMALL if max(s.n_vregs, 1) <= BV_SMALL_MAX else BV
         nv_pad = -(-max(nv, 1) // blk) * blk
-        if s.P <= 32:
-            # round<<10|q<<7|lam with <=32 rounds fits int16: 25% less
-            # HBM traffic on the index stream at fp32
-            assert int(s.idx.max(initial=0)) <= np.iinfo(np.int16).max, \
-                "slot metadata must fit int16 (p_cap <= 32)"
-            idx_dt = np.int16
-        else:
-            idx_dt = np.int32
+        # The packer caps every vreg's window list at LONG_WIN_CAP=32
+        # (wplan.py: sequential chunking, bin packing and reject retries
+        # all break at 32 windows), so every stream class is statically
+        # unrolled.  A P>32 stream can only come from a stale pre-v7
+        # cached plan — reject it rather than mis-executing.
+        if s.P > 32:
+            raise ValueError(
+                f"stream P={s.P} > 32: dynamic-round streams are no "
+                "longer produced (or executed); repack the plan")
+        # round<<10|q<<7|lam with <=32 rounds fits int16: 25% less
+        # HBM traffic on the index stream at fp32
+        assert int(s.idx.max(initial=0)) <= np.iinfo(np.int16).max, \
+            "slot metadata must fit int16 (p_cap <= 32)"
+        idx_dt = np.int16
         idx = np.zeros((nv_pad * SUB, LANES), dtype=idx_dt)
         # wins[:, 0] = per-vreg round count; wins[:, 1:] = window offsets
         wins = np.zeros((nv_pad, s.P + 1), dtype=np.int32)
@@ -867,15 +650,7 @@ def plan_to_arrays(plan, dtype: str = "f32",
         # resident executor can take) keep full f32 lo.
         sbytes = sum(a.nbytes for e in arrays["streams"]
                      for a in e.values())
-        # dynamic-round (P>32) streams also bar the resident executor
-        # (resident.py:eligible), so mid-size power-law plans with them
-        # stream from HBM every iteration too; the 16 MB floor keeps
-        # small (test-scale, latency-bound) plans at full f32 lo.
-        has_dyn = any(P > 32 for (P, _, _) in stream_shapes)
-        big_streamed = (not strict_f64
-                        and (sbytes > DD_LO16_MIN_BYTES
-                             or (has_dyn
-                                 and sbytes > DD_LO16_MIN_BYTES // 6)))
+        big_streamed = not strict_f64 and sbytes > DD_LO16_MIN_BYTES
         if big_streamed:
             for e in arrays["streams"]:
                 e["vals_lo"] = e["vals_lo"].astype(ml_dtypes.bfloat16)
@@ -1022,13 +797,12 @@ def prep_x(meta: WMeta, x: np.ndarray, col_perm=None):
     return xp.reshape(meta.s_rows, LANES)
 
 
-# Fused multi-stream colsum: measured a LOSS on livejournal v6
-# (tools/fused_ab.py, same-window: per-stream 6581 vs fused 8271
-# us/iter) — the per-launch x-table reload it eliminates (~30 us x 11)
-# is an order smaller than whatever the mono-kernel costs Mosaic's
-# pipeliner across 37 blocked operands.  Kept for the record + tests;
-# default OFF.
-FUSED_COLSUM = os.environ.get("DASP_FUSED_COLSUM", "0") == "1"
+# (A fused multi-stream colsum — one pallas_call covering every stream's
+# grid span with clamped index maps — was built and measured a LOSS on
+# livejournal v6: per-stream 6581 vs fused 8271 us/iter; the per-launch
+# x-table reload it eliminates (~30 us x 11) is an order smaller than
+# what the mono-kernel costs Mosaic's pipeliner across 37 blocked
+# operands.  Deleted after the A/B; record in DESIGN §7c + git history.)
 
 
 def spmv_fn(meta: WMeta, arrays: Dict, x2d):
@@ -1036,27 +810,11 @@ def spmv_fn(meta: WMeta, arrays: Dict, x2d):
     for f64) -> y (n_rows,)."""
     if meta.dtype == "f64":
         return _spmv_dd(meta, arrays, x2d)
-    partials = [None] * len(meta.streams)
-    static = [si for si, (P, _, _) in enumerate(meta.streams) if P <= 32]
-    if FUSED_COLSUM and len(static) > 1:
-        fused = _make_colsum_fused([meta.streams[si] for si in static],
-                                   meta.s_rows, meta.interpret)
-        outs = fused([(arrays["streams"][si]["wins"],
-                       arrays["streams"][si]["vals"],
-                       arrays["streams"][si]["idx"]) for si in static],
-                     x2d)
-        for si, p in zip(static, outs):
-            partials[si] = p
-        static = []
+    partials = []
     for si, ((P, stride, NV), st) in enumerate(zip(meta.streams,
                                                    arrays["streams"])):
-        if partials[si] is not None:
-            continue
-        if P <= 32:
-            call = _make_colsum(P, meta.s_rows, NV, meta.interpret, stride)
-        else:
-            call = _make_colsum_dyn(P, meta.s_rows, NV, meta.interpret)
-        partials[si] = call(st["wins"], st["vals"], st["idx"], x2d)
+        call = _make_colsum(P, meta.s_rows, NV, meta.interpret, stride)
+        partials.append(call(st["wins"], st["vals"], st["idx"], x2d))
     y = _assemble_y(meta, arrays, partials, x2d)
     if meta.dtype == "bf16":
         return y.astype(jnp.bfloat16)
@@ -1129,10 +887,9 @@ def _assemble_y(meta: WMeta, arrays: Dict, partials, x2d):
 
 def spmm_fn(meta: WMeta, arrays: Dict, x3d, kv: int = KV_SPMM):
     """Jittable multi-vector SpMV (SpMM): x3d (kv*s_rows, 128) f32
-    (kv stacked x tables) -> y (kv, n_rows).  Static streams
-    run through the multi-x colsum so the A stream is read once per
-    kv vectors; dynamic (P>32) streams and the glue loop per
-    vector."""
+    (kv stacked x tables) -> y (kv, n_rows).  Streams run through the
+    multi-x colsum so the A stream is read once per kv vectors; the
+    glue loops per vector."""
     assert meta.dtype != "f64", "SpMM fast path is f32/bf16 only"
     S = meta.s_rows
     multi: Dict[int, jnp.ndarray] = {}
@@ -1141,17 +898,11 @@ def spmm_fn(meta: WMeta, arrays: Dict, x3d, kv: int = KV_SPMM):
         partials = []
         for si, ((P, stride, NV), st) in enumerate(
                 zip(meta.streams, arrays["streams"])):
-            if P <= 32:
-                if si not in multi:
-                    call = _make_colsum_multi(P, S, NV, meta.interpret,
-                                              stride, kv=kv)
-                    multi[si] = call(st["wins"], st["vals"], st["idx"],
-                                     x3d)
-                partials.append(multi[si][j])
-            else:
-                call = _make_colsum_dyn(P, S, NV, meta.interpret)
-                partials.append(call(st["wins"], st["vals"], st["idx"],
-                                     x3d[j * S:(j + 1) * S]))
+            if si not in multi:
+                call = _make_colsum_multi(P, S, NV, meta.interpret,
+                                          stride, kv=kv)
+                multi[si] = call(st["wins"], st["vals"], st["idx"], x3d)
+            partials.append(multi[si][j])
         y = _assemble_y(meta, arrays, partials, x3d[j * S:(j + 1) * S])
         ys.append(y)
     out = jnp.stack(ys)
@@ -1170,37 +921,17 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
     # sums in plain f32 over the hi halves; the lo partial is
     # identically zero and every downstream reduction stays compensated
     # dd, bounding the error at ~2^-23 of the row's absolute mass
-    # (inside main_f64.cu:8's 1e-5 contract).  Static f32-tier streams
-    # fuse into ONE kernel (shared xh load; see _make_colsum_fused).
-    f32_static = [si for si, (P, _, _) in enumerate(meta.streams)
-                  if dd_f32[si] and P <= 32]
-    if FUSED_COLSUM and len(f32_static) > 1:
-        fused = _make_colsum_fused([meta.streams[si] for si in f32_static],
-                                   meta.s_rows, meta.interpret)
-        outs = fused([(arrays["streams"][si]["wins"],
-                       arrays["streams"][si]["vals_hi"],
-                       arrays["streams"][si]["idx"])
-                      for si in f32_static], xh)
-        for si, h in zip(f32_static, outs):
-            partials[si] = (h, jnp.zeros_like(h))
+    # (inside main_f64.cu:8's 1e-5 contract).
     for si, ((P, stride, NV), st, f32cs) in enumerate(
             zip(meta.streams, arrays["streams"], dd_f32)):
-        if partials[si] is not None:
-            continue
         if f32cs:
-            if P <= 32:
-                call = _make_colsum(P, meta.s_rows, NV, meta.interpret,
-                                    stride)
-            else:
-                call = _make_colsum_dyn(P, meta.s_rows, NV, meta.interpret)
+            call = _make_colsum(P, meta.s_rows, NV, meta.interpret,
+                                stride)
             h = call(st["wins"], st["vals_hi"], st["idx"], xh)
             partials[si] = (h, jnp.zeros_like(h))
             continue
-        if P <= 32:
-            call = _make_colsum_dd(P, meta.s_rows, NV, meta.interpret,
-                                   stride)
-        else:
-            call = _make_colsum_dyn_dd(P, meta.s_rows, NV, meta.interpret)
+        call = _make_colsum_dd(P, meta.s_rows, NV, meta.interpret,
+                               stride)
         partials[si] = call(st["wins"], st["vals_hi"], st["vals_lo"],
                             st["idx"], xh, xl)
 

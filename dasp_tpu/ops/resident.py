@@ -181,8 +181,6 @@ def eligible(meta, arrays) -> bool:
     ~1e-6, well inside the reference's 1e-5 contract (main_f64.cu:8)."""
     if meta.dtype not in ("f32", "bf16", "f64"):
         return False
-    if any(P > 32 for P, _, _ in meta.streams):
-        return False               # dynamic-round streams stay HBM-streamed
     return True
 
 

@@ -81,12 +81,16 @@ LONG_PACK = 127          # long scalars per y2 row (lane 127 stays zero)
 # streams — only segment bookkeeping.
 W8_CLASSES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
 P_CLASSES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
-# Round classes above 32 run in the dynamic-round colsum kernel (serialized
-# vector loop, ~6x slower per round) instead of the statically unrolled one;
-# they exist so column-sorted long-row TAILS that span hundreds of windows
-# stay on the fast packed path instead of overflowing to the COO fallback
-# (XLA element-gather at ~0.05 Gelem/s measured, tools/gather_bench.py).
-DYN_CLASSES = (64, 128, 256, 512)
+# Every vreg's window list is capped at P_CLASSES[-1]=32 by construction
+# (sequential chunking, window bin-packing and reject-retry re-chunking all
+# break at 32 windows), so stream classes are always statically unrolled.
+# Dynamic (P>32) round classes existed through round 3; round 4 measured
+# static splitting to win up to ~200x padding (the structural worst case is
+# 32x: 32 windows x 1 element per 1024-slot vreg) and round 5 removed the
+# serialized dynamic-round kernels outright.
+# LONG_P_CAP bounds the native router's window table; with the 32-window
+# caps above it is never the binding constraint (kept > 32 so the router
+# reports, rather than rejects, an over-cap vreg if an invariant breaks).
 LONG_P_CAP = 512
 # output-gather sources per block:
 # [0] primary slice, [1..4] length-bucketed shared slices, [5]/[6]
@@ -553,10 +557,12 @@ class _Packet:
 
 
 def _p_class(p_used: int, p_cap: int) -> int:
-    for c in P_CLASSES + DYN_CLASSES:
+    for c in P_CLASSES:
         if p_used <= c:
             return min(c, p_cap)
-    return p_cap
+    raise AssertionError(
+        f"vreg uses {p_used} windows > {P_CLASSES[-1]}: the packer's "
+        "32-window caps (chunking/bin-pack/retry) were violated")
 
 
 def merge_class_keys(key_mass: Dict[Tuple[int, int], int],
@@ -572,8 +578,7 @@ def merge_class_keys(key_mass: Dict[Tuple[int, int], int],
     rows when strides mix (the stream runs at the MINIMUM stride; coarser
     segments' level sums are rebuilt in XLA glue by pairwise row adds,
     ~0.083 vreg-equivalents per extra row) -- stays under that fixed
-    cost.  Never merges across the static/dynamic kernel boundary.
-    FIXED_EQ started at 320 (the standalone ~6us fixed cost of a small
+    cost.  FIXED_EQ started at 320 (the standalone ~6us fixed cost of a small
     stream) but XLA overlaps adjacent colsum launches, so the realized
     saving is smaller: 320 merged a P=6 class into scircuit's stride-2
     pool and LOST 6%; 120 keeps only the cheap merges (cop20k +6%).
@@ -618,8 +623,6 @@ def merge_class_keys(key_mass: Dict[Tuple[int, int], int],
             best = None
             for t in roots:
                 if t == c or masses[t] < vc:
-                    continue
-                if (c[0] <= P_CLASSES[-1]) != (t[0] <= P_CLASSES[-1]):
                     continue
                 P_new = max(c[0], t[0])
                 s_new = min(c[1], t[1])
@@ -1505,19 +1508,16 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # Element -> vreg assignment packs each row's WINDOW-GROUPS (runs of
     # equal col//1024 in the sorted stream) into vregs holding <= 32
     # windows each, adding vregs beyond ceil(len/1024) when the row's
-    # windows don't fit (scattered zipf tails).  A statically-padded vreg
-    # costs ~4x less than a dynamic-round one, so the dyn classes are only
-    # the fallback when padding would exceed DYN_PAD_MAX.
+    # windows don't fit (scattered zipf tails).
     LONG_WIN_CAP = P_CLASSES[-1]
-    # Static-split padding cap for long vregs whose sorted columns span
-    # more than 32 windows.  Measured on rmat_like (the first suite arm
-    # to actually hit the dynamic classes on TPU, 2026-08-20): the
-    # serialized dynamic-round colsum costs ~218 ns/vreg/round — 245x
-    # the static kernel's 0.89 — so 1082 dyn vregs (P=256/512) ran 59 ms
-    # of a 65 ms iteration.  Static splitting wins up to ~200x padding;
-    # 32 is the structural worst case (32 windows x 1 element each per
-    # 1024-slot vreg), so the dyn classes are now reachable only by
-    # inputs denser than one element per window at P > LONG_P_CAP.
+    # Static-split padding guard, kept for the native ABI.  Measured on
+    # rmat_like (2026-08-20): the serialized dynamic-round colsum cost
+    # ~218 ns/vreg/round — 245x the static kernel's 0.89 — so static
+    # splitting wins up to ~200x padding, and 32 IS the structural worst
+    # case (32 windows x 1 element each per 1024-slot vreg): ceil(n_win/
+    # 32) <= 32*ceil(len/1024) always, so the escape `nv_need >
+    # DYN_PAD_MAX*nv_base` can never fire and every long vreg is
+    # statically classed (the P>32 kernels were removed in round 5).
     DYN_PAD_MAX = 32
     row_cols: List[np.ndarray] = []   # per ROW, in vreg-emission order
     row_vals: List[np.ndarray] = []
@@ -1543,16 +1543,16 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     _nat = _native_router()
     _native_long_done = False
     if _nat is not None and scalar_owners and _nat.has_pack_long():
-        cls_tab = np.asarray(P_CLASSES + DYN_CLASSES, dtype=np.int64)
+        cls_tab = np.asarray(P_CLASSES, dtype=np.int64)
 
         def _pack_call(rs, re_, base_c, base_v):
             out = _nat.pack_long(rs, re_, base_c, base_v, LONG_WIN_CAP,
                                  LONG_P_CAP, DYN_PAD_MAX)
             vt_all, it_all, wins_cat, win_off, owner_ord, dregs = out
             wcnt = np.maximum(np.diff(win_off), 1)
-            cls_arr = np.minimum(
-                cls_tab[np.searchsorted(cls_tab, wcnt, side="left")],
-                LONG_P_CAP)
+            assert int(wcnt.max(initial=1)) <= LONG_WIN_CAP, \
+                "native pack_long emitted a vreg over the 32-window cap"
+            cls_arr = cls_tab[np.searchsorted(cls_tab, wcnt, side="left")]
             return (vt_all, it_all, wins_cat, win_off, owner_ord,
                     cls_arr, dregs)
 

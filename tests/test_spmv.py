@@ -183,29 +183,6 @@ def test_prebuilt_wplan_shared_across_dtypes(rng):
                                    rtol=tol, atol=tol)
 
 
-def test_spmv_fused_colsum_matches(rng, monkeypatch):
-    """DASP_FUSED_COLSUM=1 (off by default: measured -24% on
-    livejournal, DESIGN 7c) stays EXACT vs the per-stream kernels —
-    the fused kernel is the same _colsum_body under clamped grid
-    spans, so results must match bitwise at f32."""
-    from dasp_tpu import wplan as wp
-    from dasp_tpu.ops import pallas_backend as pb
-    # identity class merge: small test matrices otherwise collapse to a
-    # single static stream and the fused path would not engage
-    monkeypatch.setattr(wp, "merge_class_keys",
-                        lambda km, s_rows=0: {k: k for k in km})
-    csr = CASES["powerlaw"](rng)
-    x = rng.standard_normal(csr.n_cols)
-    plan = wp.build_wplan(csr)
-    monkeypatch.setattr(pb, "FUSED_COLSUM", False)
-    y0 = np.asarray(SpMVOperator(plan, dtype="f32")(x))
-    monkeypatch.setattr(pb, "FUSED_COLSUM", True)
-    op = SpMVOperator(plan, dtype="f32")
-    assert sum(P <= 32 for P, _, _ in op._meta.streams) > 1
-    y1 = np.asarray(op(x))
-    np.testing.assert_array_equal(y0, y1)
-
-
 def test_outgather_range_split_matches(rng):
     """The range-split outgather (WMeta.og_ranges: per-range static K
     launches over contiguous OB-aligned block ranges, concatenated) is

@@ -139,15 +139,23 @@ def test_length_buckets_activate(rng):
                                rtol=1e-12, atol=1e-12)
 
 
-def test_dyn_round_classes(rng):
-    """Uniform scattered long rows must produce dynamic (P > 32) streams
-    and still match golden (exercises _make_colsum_dyn)."""
+def test_scattered_long_stays_static(rng):
+    """Uniform scattered long rows (windows per 1024-chunk far beyond
+    the 32-window static budget) must be absorbed by static window
+    bin-packing: every stream class stays P <= 32 — the packer's window
+    caps make that structural (ceil(n_win/32) <= 32*ceil(len/1024), see
+    wplan.py's DYN_PAD_MAX note; the dynamic-round kernels were removed
+    in round 5) — and the result must match golden at both dtypes."""
     from dasp_tpu.config import DaspConfig
     cfg = DaspConfig(relabel="off")   # auto would collapse the windows
     csr = CASES["scattered_long"](rng)
     plan = build_wplan(csr, cfg)
-    assert any(s.P > 32 for s in plan.streams), \
-        "expected dynamic round classes for scattered long rows"
+    assert all(s.P <= 32 for s in plan.streams), \
+        f"P>32 stream escaped the packer caps: {[s.P for s in plan.streams]}"
+    # the scattered rows really did exceed the per-chunk window budget
+    # (otherwise this archetype stopped exercising the bin-packing path)
+    assert any(s.P >= 16 for s in plan.streams), \
+        f"archetype no longer scattered enough: {[s.P for s in plan.streams]}"
     from dasp_tpu.ops.pallas_backend import PallasSpMV
     for dtype, tol in (("f32", 2e-5), ("f64", 1e-10)):
         op = PallasSpMV(csr, dtype=dtype, config=cfg)

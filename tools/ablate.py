@@ -20,8 +20,7 @@ from dasp_tpu.bench.harness import call_overhead
 from dasp_tpu.bench.suite import SUITE
 from dasp_tpu.ops import pallas_backend as pb
 from dasp_tpu.ops.pallas_backend import (LANES, LONG_PACK, SUB,
-                                         _make_colsum, _make_colsum_dyn,
-                                         _make_outgather)
+                                         _make_colsum, _make_outgather)
 
 name = sys.argv[1] if len(sys.argv) > 1 else "scircuit_like"
 iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
@@ -54,9 +53,8 @@ def partial_spmv(stage):
     def fn(arrays, x2d):
         partials = []
         for (P, stride, NV), st in zip(meta.streams, arrays["streams"]):
-            call = (_make_colsum(P, meta.s_rows, NV, meta.interpret, stride)
-                    if P <= 32 else
-                    _make_colsum_dyn(P, meta.s_rows, NV, meta.interpret))
+            call = _make_colsum(P, meta.s_rows, NV,
+                                 meta.interpret, stride)
             partials.append(call(st["wins"], st["vals"], st["idx"], x2d))
         if stage == 1:
             return sum(p[0, 0] for p in partials)

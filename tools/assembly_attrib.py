@@ -20,8 +20,7 @@ enable_compile_cache()
 
 from dasp_tpu.ops import pallas_backend as pb
 from dasp_tpu.ops.pallas_backend import (LANES, LONG_PACK, SUB,
-                                         _make_colsum, _make_colsum_dyn,
-                                         _make_outgather)
+                                         _make_colsum, _make_outgather)
 from dasp_tpu.wplan import load_wplan
 
 name = sys.argv[1] if len(sys.argv) > 1 else "livejournal_like"
@@ -54,9 +53,7 @@ x2d = jax.device_put(pb.prep_x(meta, rng.standard_normal(csr.n_cols)))
 def colsum_all(arrays, x2d):
     partials = []
     for (P, stride, NV), st in zip(meta.streams, arrays["streams"]):
-        call = (_make_colsum(P, meta.s_rows, NV, meta.interpret, stride)
-                if P <= 32 else
-                _make_colsum_dyn(P, meta.s_rows, NV, meta.interpret))
+        call = _make_colsum(P, meta.s_rows, NV, meta.interpret, stride)
         partials.append(call(st["wins"], st["vals"], st["idx"], x2d))
     return partials
 

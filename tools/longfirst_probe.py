@@ -56,7 +56,7 @@ def long_first_perm(csr, hub_min_deg: int, block_longest: int):
 
 def report(tag, csr, perm):
     from dasp_tpu.relabel import apply_sym_perm
-    from dasp_tpu.wplan import build_wplan, DYN_CLASSES
+    from dasp_tpu.wplan import build_wplan
     from dasp_tpu.config import DEFAULT_CONFIG
     from dasp_tpu.ops import pallas_backend as pb
     from dasp_tpu.ops import resident as R

@@ -51,8 +51,7 @@ def main():
     print(f"  P-cost (sum P*nv) {pcost}")
     if "--save" in sys.argv:
         path = sys.argv[sys.argv.index("--save") + 1]
-        with gc_paused():
-            save_wplan(plan, path)
+        gc_paused(save_wplan)(plan, path)
         print(f"saved -> {path}")
 
 

@@ -19,7 +19,7 @@ enable_compile_cache()
 
 from dasp_tpu.bench.harness import call_overhead
 from dasp_tpu.ops import pallas_backend as pb
-from dasp_tpu.ops.pallas_backend import _make_colsum, _make_colsum_dyn
+from dasp_tpu.ops.pallas_backend import _make_colsum
 
 name = sys.argv[1] if len(sys.argv) > 1 else "livejournal_like"
 iters = int(sys.argv[2]) if len(sys.argv) > 2 else 200
@@ -48,9 +48,7 @@ co = call_overhead()
 
 def stream_loop(si):
     P, stride, NV = meta.streams[si]
-    call = (_make_colsum(P, meta.s_rows, NV, meta.interpret, stride)
-            if P <= 32 else
-            _make_colsum_dyn(P, meta.s_rows, NV, meta.interpret))
+    call = _make_colsum(P, meta.s_rows, NV, meta.interpret, stride)
 
     @jax.jit
     def loop(st, x2d):
