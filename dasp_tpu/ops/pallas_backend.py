@@ -707,12 +707,91 @@ def plan_to_arrays(plan, dtype: str = "f32",
     perm = np.zeros((K_SOURCES, B_pad, LANES), dtype=np.int8)
     perm[:, :B] = plan.out_perm.reshape(B, K_SOURCES, LANES).transpose(
         1, 0, 2)
+    used = src != Z_final
+    last = (used * (np.arange(K_SOURCES, dtype=np.int32) + 1)).max(axis=1)
+
+    # Conflict rejects were already re-routed into shared rem2/rem3 slices
+    # by the packer; the final dregs run as a COO correction.  The old
+    # single (R_o, max_len_pow2) reduction tree + sorted scatter-add was
+    # catastrophic on community graphs: rmat_like's 179k-element residue
+    # (137k rows, max 54/row but MEAN 1.3) built an 8.8M-index tree and a
+    # 137k-row scatter (~25 ns/row measured on the XLA TPU scatter path)
+    # = ~58 of its 63 ms/iter.  Now:
+    #  * octave-grouped trees: rows bucketed by next-pow2 length, one
+    #    (rows_o, w) gather-sum per octave (~1.1 slots/element instead of
+    #    max_len for every row);
+    #  * scatter-free placement: per-row sums are routed into y2 as one
+    #    extra 128-lane row per residue block, consumed by the normal
+    #    outgather through a free out_src slot (identity lane perm) —
+    #    rows whose block has all K_SOURCES slots claimed (rare) fall
+    #    back to the sorted scatter.
+    overflow_meta = None
+    arrays["overflow"] = None
+    if include_overflow and plan.overflow is not None and plan.overflow.nnz:
+        o = plan.overflow
+        entry = dict(cols=o.col_idx.astype(np.int32))
+        lens_o = o.row_lengths
+        urows = np.flatnonzero(lens_o > 0)
+        L = lens_o[urows].astype(np.int64)
+        widths = np.maximum(
+            1 << np.ceil(np.log2(np.maximum(L, 1))).astype(np.int64), 1)
+        trees = []
+        concat_idx = []                # urows-local index, concat order
+        for w in np.unique(widths):
+            sel = np.flatnonzero(widths == w)
+            rw = urows[sel]
+            tree = (o.row_ptr[rw][:, None]
+                    + np.arange(w)[None, :]).astype(np.int32)
+            tree[np.arange(w)[None, :] >= L[sel][:, None]] = o.nnz
+            trees.append(tree)
+            concat_idx.append(sel)
+        concat_idx = np.concatenate(concat_idx)
+        pos_of = np.empty(urows.size, dtype=np.int64)
+        pos_of[concat_idx] = np.arange(urows.size)
+        entry["trees"] = trees
+        # concat order -> row-sorted order (resident scatter path)
+        entry["sort_back"] = pos_of.astype(np.int32)
+        entry["tree_rows"] = urows.astype(np.int32)
+        # y2 routing: one extra y2 row per residue block holding the
+        # block's per-lane sums (target-lane layout, identity perm)
+        blk_o = urows // LANES
+        res_blocks = np.unique(blk_o)
+        kslot = last[res_blocks]
+        ok_b = kslot < K_SOURCES
+        keep_blocks = res_blocks[ok_b]
+        row_ok = ok_b[np.searchsorted(res_blocks, blk_o)]
+        if keep_blocks.size:
+            bpos = np.searchsorted(keep_blocks, blk_o[row_ok])
+            table = np.full(keep_blocks.size * LANES, urows.size,
+                            dtype=np.int32)
+            table[bpos * LANES + urows[row_ok] % LANES] = \
+                pos_of[row_ok]
+            entry["lane_table"] = table
+            src[keep_blocks, kslot[ok_b]] = (
+                Z_final + 1 + np.arange(keep_blocks.size))
+            perm[kslot[ok_b], keep_blocks] = np.arange(
+                LANES, dtype=np.int8)[None, :]
+            used = src != Z_final
+            last = (used * (np.arange(K_SOURCES, dtype=np.int32)
+                            + 1)).max(axis=1)
+        else:
+            entry["lane_table"] = np.zeros(0, dtype=np.int32)
+        # fallback scatter rows (their block had no free slot)
+        fb = ~row_ok
+        entry["fb_pos"] = pos_of[fb].astype(np.int32)
+        entry["fb_rows"] = urows[fb].astype(np.int32)
+        if dtype == "f64":
+            from . import dd as _dd
+            entry["vals_hi"], entry["vals_lo"] = _dd.from_f64(
+                o.values.astype(np.float64))
+        else:
+            entry["vals"] = o.values.astype(np.float32)
+        arrays["overflow"] = entry
+
     # Trim the source table to the plan-wide max of USED slots (slot k
     # unused = src points at the zero row; slots are claimed densely).
     # FEM/banded plans use 2-3 of the 7 columns: the outgather unroll and
     # its per-step perm DMA shrink by the same factor.
-    used = src != Z_final
-    last = (used * (np.arange(K_SOURCES, dtype=np.int32) + 1)).max(axis=1)
     k_used = k_sources if k_sources is not None else max(1, int(last.max()))
     arrays["out_src"] = src[:, :k_used].copy()
     arrays["out_perm"] = perm[:k_used].copy()
@@ -731,38 +810,6 @@ def plan_to_arrays(plan, dtype: str = "f32",
                             for b0, b1, k in og_ranges]
         arrays["og_perm"] = [perm[:k, b0:b1].copy()
                              for b0, b1, k in og_ranges]
-
-    # Conflict rejects were already re-routed into shared rem2/rem3 slices
-    # by the packer; only the (tiny) final dregs run here as a plain COO
-    # gather + scatter-add (cheap because the element count is tiny).
-    overflow_meta = None
-    arrays["overflow"] = None
-    if include_overflow and plan.overflow is not None and plan.overflow.nnz:
-        o = plan.overflow
-        rows = np.repeat(np.arange(o.n_rows), o.row_lengths).astype(np.int32)
-        entry = dict(rows=rows, cols=o.col_idx.astype(np.int32))
-        # per-row reduction tree: (R_o, C_pad) indices into the product
-        # stream (pad -> the appended zero product).  For dd it keeps the
-        # row sums compensated; for f32/bf16 it pre-sums duplicates so
-        # the final scatter-add runs with unique SORTED indices — XLA's
-        # TPU scatter serializes on the general path (measured 380 us for
-        # 15k elements on livejournal, tools/assembly_attrib.py)
-        lens_o = o.row_lengths
-        urows = np.flatnonzero(lens_o > 0)
-        cmax = 1 << int(np.ceil(np.log2(max(int(lens_o.max()), 1))))
-        tree = np.full((urows.size, cmax), o.nnz, dtype=np.int32)
-        for k, rr in enumerate(urows):
-            s0, s1 = int(o.row_ptr[rr]), int(o.row_ptr[rr + 1])
-            tree[k, :s1 - s0] = np.arange(s0, s1)
-        entry["tree"] = tree
-        entry["tree_rows"] = urows.astype(np.int32)
-        if dtype == "f64":
-            from . import dd as _dd
-            entry["vals_hi"], entry["vals_lo"] = _dd.from_f64(
-                o.values.astype(np.float64))
-        else:
-            entry["vals"] = o.values.astype(np.float32)
-        arrays["overflow"] = entry
 
     n_long_rows = -(-plan.n_long // LONG_PACK) if plan.n_long else 0
     meta = WMeta(dtype=dtype, s_rows=plan.s_rows, n_rows=plan.n_rows,
@@ -858,6 +905,23 @@ def _assemble_y(meta: WMeta, arrays: Dict, partials, x2d):
         y2_parts.append(srows)
 
     y2_parts.append(jnp.zeros((1, LANES), jnp.float32))      # zero row
+
+    # COO residue: octave-tree per-row sums routed into y2 as one extra
+    # 128-lane row per residue block (consumed by the outgather through
+    # a reserved out_src slot — no scatter; see plan_to_arrays)
+    rsums = None
+    if arrays["overflow"] is not None:
+        o = arrays["overflow"]
+        xg = jnp.take(x2d.reshape(-1), o["cols"], mode="clip")
+        pc = jnp.concatenate([o["vals"] * xg, jnp.zeros(1, jnp.float32)])
+        parts = [jnp.take(pc, t, mode="clip").sum(axis=1)
+                 if t.shape[1] > 1 else
+                 jnp.take(pc, t[:, 0], mode="clip")
+                 for t in o["trees"]]
+        rsums = jnp.concatenate(parts + [jnp.zeros(1, jnp.float32)])
+        if o["lane_table"].shape[0]:
+            y2_parts.append(jnp.take(rsums, o["lane_table"],
+                                     mode="clip").reshape(-1, LANES))
     y2 = jnp.concatenate(y2_parts, axis=0)
 
     if len(meta.og_ranges) > 1:
@@ -874,14 +938,11 @@ def _assemble_y(meta: WMeta, arrays: Dict, partials, x2d):
             arrays["out_src"], arrays["out_perm"], y2)
     y = out.reshape(-1)[:meta.n_rows]
 
-    if arrays["overflow"] is not None:
+    if rsums is not None and arrays["overflow"]["fb_rows"].shape[0]:
         o = arrays["overflow"]
-        xg = jnp.take(x2d.reshape(-1), o["cols"], mode="clip")
-        pc = jnp.concatenate([o["vals"] * xg, jnp.zeros(1, jnp.float32)])
-        c = jnp.take(pc, o["tree"], mode="clip").sum(axis=1)
-        y = y.at[o["tree_rows"]].add(c, mode="drop",
-                                     indices_are_sorted=True,
-                                     unique_indices=True)
+        y = y.at[o["fb_rows"]].add(
+            jnp.take(rsums, o["fb_pos"], mode="clip"), mode="drop",
+            indices_are_sorted=True, unique_indices=True)
     return y
 
 
@@ -991,6 +1052,34 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
 
     y2h_parts.append(jnp.zeros((1, LANES), jnp.float32))
     y2l_parts.append(jnp.zeros((1, LANES), jnp.float32))
+
+    # COO residue via y2 routing (see _assemble_y), compensated sums
+    rs = None
+    if arrays["overflow"] is not None:
+        o = arrays["overflow"]
+        gh = jnp.take(xh.reshape(-1), o["cols"], mode="clip")
+        gl = jnp.take(xl.reshape(-1), o["cols"], mode="clip")
+        ph, plo = dd.mul(o["vals_hi"], o["vals_lo"], gh, gl, safe=True)
+        ph = jnp.concatenate([ph, jnp.zeros(1, jnp.float32)])
+        plo = jnp.concatenate([plo, jnp.zeros(1, jnp.float32)])
+        parts_h, parts_l = [], []
+        for t in o["trees"]:
+            if t.shape[1] > 1:
+                sh, sl = dd.sum_axis(jnp.take(ph, t, mode="clip"),
+                                     jnp.take(plo, t, mode="clip"), 1,
+                                     safe=True)
+            else:
+                sh = jnp.take(ph, t[:, 0], mode="clip")
+                sl = jnp.take(plo, t[:, 0], mode="clip")
+            parts_h.append(sh)
+            parts_l.append(sl)
+        rs = (jnp.concatenate(parts_h + [jnp.zeros(1, jnp.float32)]),
+              jnp.concatenate(parts_l + [jnp.zeros(1, jnp.float32)]))
+        if o["lane_table"].shape[0]:
+            y2h_parts.append(jnp.take(rs[0], o["lane_table"],
+                                      mode="clip").reshape(-1, LANES))
+            y2l_parts.append(jnp.take(rs[1], o["lane_table"],
+                                      mode="clip").reshape(-1, LANES))
     y2h = jnp.concatenate(y2h_parts, axis=0)
     y2l = jnp.concatenate(y2l_parts, axis=0)
 
@@ -1010,21 +1099,14 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
     yh = oh.reshape(-1)[:meta.n_rows]
     yl = ol.reshape(-1)[:meta.n_rows]
 
-    if arrays["overflow"] is not None:
+    if rs is not None and arrays["overflow"]["fb_rows"].shape[0]:
         o = arrays["overflow"]
-        gh = jnp.take(xh.reshape(-1), o["cols"], mode="clip")
-        gl = jnp.take(xl.reshape(-1), o["cols"], mode="clip")
-        ph, plo = dd.mul(o["vals_hi"], o["vals_lo"], gh, gl, safe=True)
-        # per-row compensated tree sums, then a single exact placement
-        ph = jnp.concatenate([ph, jnp.zeros(1, jnp.float32)])
-        plo = jnp.concatenate([plo, jnp.zeros(1, jnp.float32)])
-        th = jnp.take(ph, o["tree"], mode="clip")
-        tl = jnp.take(plo, o["tree"], mode="clip")
-        rh, rl = dd.sum_axis(th, tl, 1, safe=True)
-        zh = jnp.zeros_like(yh).at[o["tree_rows"]].set(
-            rh, mode="drop", indices_are_sorted=True, unique_indices=True)
-        zl = jnp.zeros_like(yl).at[o["tree_rows"]].set(
-            rl, mode="drop", indices_are_sorted=True, unique_indices=True)
+        zh = jnp.zeros_like(yh).at[o["fb_rows"]].set(
+            jnp.take(rs[0], o["fb_pos"], mode="clip"), mode="drop",
+            indices_are_sorted=True, unique_indices=True)
+        zl = jnp.zeros_like(yl).at[o["fb_rows"]].set(
+            jnp.take(rs[1], o["fb_pos"], mode="clip"), mode="drop",
+            indices_are_sorted=True, unique_indices=True)
         yh, yl = dd.add(yh, yl, zh, zl, safe=True)
     return dict(hi=yh, lo=yl)
 
@@ -1066,8 +1148,12 @@ class PallasSpMV:
         if not force_streamed:
             _resident.prepare(self._meta, arrays)
         # host copy of the out_src table: the resident outgather is
-        # STATICALLY specialized from it (resident.py:_og_program)
-        self._src_host = (arrays["out_src"].copy()
+        # STATICALLY specialized from it (resident.py:_og_program).
+        # Residue-routing entries (> n_y2_rows) are stripped to the zero
+        # row — the resident kernel's y2 scratch has no residue rows
+        # (its wrapper applies the residue as a post-kernel scatter).
+        self._src_host = (np.minimum(arrays["out_src"],
+                                     self._meta.n_y2_rows)
                           if arrays.get("resident") is not None else None)
         # incidence band offsets are STATIC kernel parameters (plain
         # ints): keep them host-side — device_put would turn them into

@@ -237,6 +237,12 @@ def prepare(meta, arrays, uniform: bool = False) -> None:
     if uniform and meta.dtype == "f64":
         return
     res: Dict = {}
+    # The streamed executor routes COO-residue sums through extra y2 rows
+    # (out_src entries > n_y2_rows; see plan_to_arrays) — those rows do
+    # not exist inside the resident kernel's y2 scratch, so strip them to
+    # the zero row here; the resident wrapper applies the residue as a
+    # (tiny) sorted scatter after the kernel instead.
+    src_r = np.minimum(np.asarray(arrays["out_src"]), meta.n_y2_rows)
     if meta.n_long:
         # Compose (long groups' take-sum) o (long_gat gather-sum) into one
         # 0/1 incidence matrix per referenced stream:
@@ -337,7 +343,7 @@ def prepare(meta, arrays, uniform: bool = False) -> None:
     # transposed scalar tables (see smem_bytes): wide rows, few of them
     res["wins_t"] = [np.ascontiguousarray(st["wins"].T)
                      for st in arrays["streams"]]
-    res["src_t"] = np.ascontiguousarray(arrays["out_src"].T)
+    res["src_t"] = np.ascontiguousarray(src_r.T)
     if meta.dtype == "bf16":
         # bf16's halved value stream only pays for HBM bandwidth; once
         # resident in VMEM the per-use bf16->f32 unpack costs VPU time
@@ -369,7 +375,7 @@ def prepare(meta, arrays, uniform: bool = False) -> None:
         #     the kernel upcasts per chunk).  Typically 2-4x smaller than
         #     the full (k_used, B_pad, 128) table on power-law plans.
         #     The dynamic-outgather fallback keeps the full table.
-        src = arrays["out_src"]
+        src = src_r
         perm = arrays["out_perm"]       # (K_SOURCES, B_pad, LANES)
         RU = _ru(meta.interpret)
         Z = meta.n_y2_rows
@@ -1169,8 +1175,10 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                 yl = out[1].reshape(-1)[:meta.n_rows].astype(jnp.float32)
             if arrays["overflow"] is not None:
                 # mirror of the streamed dd overflow correction
-                # (pallas_backend._spmv_dd): per-row compensated tree
-                # sums placed exactly, then one dd add
+                # (pallas_backend._spmv_dd): per-row compensated
+                # octave-tree sums placed exactly, then one dd add
+                # (the resident kernel's y2 scratch has no residue
+                # rows, so the y2 route does not apply here)
                 o = arrays["overflow"]
                 gh = jnp.take(x2d["hi"].reshape(-1), o["cols"],
                               mode="clip")
@@ -1180,26 +1188,40 @@ def make_resident_loop(meta, src_static=None, big_c0_static=None):
                                  safe=True)
                 ph = jnp.concatenate([ph, jnp.zeros(1, jnp.float32)])
                 plo = jnp.concatenate([plo, jnp.zeros(1, jnp.float32)])
-                th = jnp.take(ph, o["tree"], mode="clip")
-                tl = jnp.take(plo, o["tree"], mode="clip")
-                rh, rl = dd.sum_axis(th, tl, 1, safe=True)
+                parts_h, parts_l = [], []
+                for t in o["trees"]:
+                    if t.shape[1] > 1:
+                        sh, sl = dd.sum_axis(
+                            jnp.take(ph, t, mode="clip"),
+                            jnp.take(plo, t, mode="clip"), 1, safe=True)
+                    else:
+                        sh = jnp.take(ph, t[:, 0], mode="clip")
+                        sl = jnp.take(plo, t[:, 0], mode="clip")
+                    parts_h.append(sh)
+                    parts_l.append(sl)
+                ch = jnp.take(jnp.concatenate(parts_h), o["sort_back"])
+                cl = jnp.take(jnp.concatenate(parts_l), o["sort_back"])
                 zh = jnp.zeros_like(yh).at[o["tree_rows"]].set(
-                    rh, mode="drop", indices_are_sorted=True,
+                    ch, mode="drop", indices_are_sorted=True,
                     unique_indices=True)
                 zl = jnp.zeros_like(yl).at[o["tree_rows"]].set(
-                    rl, mode="drop", indices_are_sorted=True,
+                    cl, mode="drop", indices_are_sorted=True,
                     unique_indices=True)
                 yh, yl = dd.add(yh, yl, zh, zl, safe=True)
             return dict(hi=yh, lo=yl)
         y = out.reshape(-1)[:meta.n_rows]
         if arrays["overflow"] is not None:
-            # pre-sum duplicates through the per-row tree so the
-            # scatter-add runs unique+sorted (see _assemble_y)
+            # pre-sum duplicates through the octave trees so the
+            # scatter-add runs unique+sorted (see plan_to_arrays)
             o = arrays["overflow"]
             xg = jnp.take(x2d.reshape(-1), o["cols"], mode="clip")
             pc = jnp.concatenate([o["vals"] * xg,
                                   jnp.zeros(1, jnp.float32)])
-            c = jnp.take(pc, o["tree"], mode="clip").sum(axis=1)
+            parts = [jnp.take(pc, t, mode="clip").sum(axis=1)
+                     if t.shape[1] > 1 else
+                     jnp.take(pc, t[:, 0], mode="clip")
+                     for t in o["trees"]]
+            c = jnp.take(jnp.concatenate(parts), o["sort_back"])
             y = y.at[o["tree_rows"]].add(c, mode="drop",
                                          indices_are_sorted=True,
                                          unique_indices=True)

@@ -85,13 +85,30 @@ def partition_strips(csr: CSRMatrix, n_parts: int, align: int,
     bounds = sorted(set(bounds))
     ranges = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
     nnz_of = [int(csr.row_ptr[e] - csr.row_ptr[s]) for s, e in ranges]
-    order = sorted(range(len(ranges)), key=nnz_of.__getitem__, reverse=True)
+    # Two-dimensional balance: long-row mass drives each chip's
+    # long-vreg TAIL, which harmonize_wplans pads to the cross-chip max
+    # — nnz-only LPT left ~17% tail spread on the power-law dryrun
+    # (256 pad vregs on the P=1 class alone).  Balance both dimensions
+    # with a greedy min of the worse normalized load.
+    lens = csr.row_lengths.astype(np.int64)
+    LONG_LEN = 1024                       # ~ wplan block_longest scale
+    lmass = np.where(lens >= LONG_LEN, lens, 0)
+    lcum = np.concatenate([[0], np.cumsum(lmass)])
+    long_of = [int(lcum[e] - lcum[s]) for s, e in ranges]
+    avg_n = max(sum(nnz_of) / n_parts, 1.0)
+    avg_l = max(sum(long_of) / n_parts, 1.0)
+    order = sorted(range(len(ranges)),
+                   key=lambda i: (long_of[i], nnz_of[i]), reverse=True)
     loads = [0] * n_parts
+    lloads = [0] * n_parts
     assign: List[List[Tuple[int, int]]] = [[] for _ in range(n_parts)]
     for i in order:
-        c = min(range(n_parts), key=loads.__getitem__)
+        c = min(range(n_parts),
+                key=lambda c: max((loads[c] + nnz_of[i]) / avg_n,
+                                  (lloads[c] + long_of[i]) / avg_l))
         assign[c].append(ranges[i])
         loads[c] += nnz_of[i]
+        lloads[c] += long_of[i]
     for strips in assign:
         strips.sort()
     return assign, loads

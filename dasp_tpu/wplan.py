@@ -2138,56 +2138,184 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
     and n_y2_rows — only array *contents* differ.
     """
     # --- canonical stream signature -----------------------------------
-    # segment key order within a stream follows the builder: (w8) for sell
-    # runs first... segments already come out ordered; key = (P, seg_index
-    # features). We key by (P, position-invariant (w8, remainder-rank)).
-    # The builder emits segments sorted by (kind_rank, w8, block) and merges
-    # equal-(kind,w8) runs, but *kind* is not stored on SellSegment; we
-    # recover a canonical key from (w8, order) by keying on w8 plus the
-    # ordinal among same-w8 segments (kinds produce at most 3 runs per w8).
-    def seg_keys(plan):
-        keys = []
-        per_stream_count: Dict[Tuple[int, int, int], int] = {}
+    # Rank-matched slices: y2 assembly SUMS each slice's w8 vregs, so a
+    # narrower chip slice embeds EXACTLY into a wider canonical slot with
+    # trailing zero vregs.  Group slices by (class, seg_stride) (the only
+    # shape-relevant features: seg_stride fixes the y2 rows per slice),
+    # sort each chip's group width-descending, and take the elementwise
+    # rank maximum as the canonical width ladder — the minimal ladder
+    # that embeds every chip's sorted multiset.  Keying on w8 itself (the
+    # previous scheme) made every chip pay FULL width for every other
+    # chip's data-dependent med/rem cascade widths — measured 1.48x total
+    # vregs on the 8-chip power-law dryrun vs ~1.15x here.
+    #
+    # Two further alignment moves, both exact because a vreg routed for
+    # P_orig rounds runs unchanged in a stream with round cap P >= P_orig
+    # (per-vreg win_counts mask the extra rounds; wins pad with zeros):
+    #  * class COALESCING: merge a whole (P_lo, s) class into (P_hi, s)
+    #    when the union ladder's pad saving beats the extra masked
+    #    rounds (ROUND_EQ vreg-equivalents each, the packer's own
+    #    calibration);
+    #  * rank SPILL-UP: a lone wide slice (e.g. the window-floor lift
+    #    firing on one chip's block in a small class) otherwise forces a
+    #    full-width canonical slot on every chip — move the top rank of
+    #    a low-P group into a same-stride higher-P group while that
+    #    reduces pad net of round cost.
+    n_chips = len(plans)
+    ROUND_EQ = 0.17                    # masked-round cost, vreg-equivalents
+
+    classes = sorted({(s.P, s.stride) for p in plans for s in p.streams})
+    class_nv_total = {c: 0 for c in classes}
+    for p in plans:
+        for s in p.streams:
+            class_nv_total[(s.P, s.stride)] += s.n_vregs
+
+    # per-chip slice inventory: items carry their source segment so the
+    # emitter can copy from the right stream wherever the slice lands
+    def _inventory(plan):
+        groups: Dict[Tuple[Tuple[int, int], int], List] = {}
         for seg in plan.sell:
             s = plan.streams[seg.stream]
-            ck = (seg.stream, seg.w8, seg.stride)
-            k = per_stream_count.get(ck, 0)
-            per_stream_count[ck] = k + 1
-            keys.append((s.P, s.stride, seg.w8, seg.stride, k))
-        return keys
+            g = groups.setdefault(((s.P, s.stride), seg.stride), [])
+            for k in range(seg.n_slices):
+                g.append((seg.w8, seg, k))
+        for g in groups.values():
+            g.sort(key=lambda t: -t[0])     # stable: ties keep plan order
+        return groups
 
-    all_keys = sorted({(s.P, s.stride) for p in plans for s in p.streams})
-    seg_sig: Dict[Tuple[int, int, int, int], int] = {}  # key -> max slices
+    inv = [_inventory(p) for p in plans]     # chip -> (root, ss) -> slices
+    tail_of = []                             # chip -> class -> tail vregs
     for p in plans:
-        for seg, key in zip(p.sell, seg_keys(p)):
-            seg_sig[key] = max(seg_sig.get(key, 0), seg.n_slices)
-    long_sig: Dict[Tuple, int] = {}          # ((P, stride), nv_c) -> max R
-    long_tail: Dict[Tuple[int, int], int] = {c: 0 for c in all_keys}
-    for p in plans:
-        for lg in p.longs:
-            s = p.streams[lg.stream]
-            key = ((s.P, s.stride), lg.idx.shape[1])
-            long_sig[key] = max(long_sig.get(key, 0), lg.idx.shape[0])
-        # tail vregs per stream = NV - sum of sell segment vregs
+        t = {}
         for si, s in enumerate(p.streams):
             sell_v = sum(seg.n_slices * seg.w8 for seg in p.sell
                          if seg.stream == si)
-            long_tail[(s.P, s.stride)] = max(
-                long_tail[(s.P, s.stride)], s.n_vregs - sell_v)
+            t[(s.P, s.stride)] = s.n_vregs - sell_v
+        tail_of.append(t)
+
+    def _ladder(lists):
+        n_max = max((len(l) for l in lists), default=0)
+        widths = [0] * n_max
+        for l in lists:
+            for r, item in enumerate(l):
+                widths[r] = max(widths[r], item[0])
+        return widths
+
+    def _pad_of(groupcfg, tailcfg):
+        pad = 0
+        for lists in groupcfg.values():
+            widths = _ladder(lists)
+            pad += sum(widths) * n_chips - sum(
+                sum(it[0] for it in l) for l in lists)
+        for per in tailcfg.values():
+            pad += max(per) * n_chips - sum(per)
+        return pad
+
+    def _build_cfg(cmap):
+        groupcfg: Dict[Tuple, List[List]] = {}
+        tailcfg: Dict[Tuple[int, int], List[int]] = {}
+        for d in range(n_chips):
+            for (cls, ss), items in inv[d].items():
+                gk = (cmap.get(cls, cls), ss)
+                groupcfg.setdefault(gk, [[] for _ in range(n_chips)])
+                groupcfg[gk][d] = sorted(
+                    groupcfg[gk][d] + items, key=lambda t: -t[0])
+            for cls, tv in tail_of[d].items():
+                root = cmap.get(cls, cls)
+                tailcfg.setdefault(root, [0] * n_chips)
+                tailcfg[root][d] += tv
+        # every group key must have one list per chip even when absent
+        return groupcfg, tailcfg
+
+    # greedy cost-weighed class coalescing
+    cmap: Dict[Tuple[int, int], Tuple[int, int]] = {c: c for c in classes}
+    while True:
+        groupcfg, tailcfg = _build_cfg(cmap)
+        pad_now = _pad_of(groupcfg, tailcfg)
+        roots = sorted({cmap[c] for c in classes})
+        best = None
+        for lo in roots:
+            for hi in roots:
+                if hi == lo or hi[1] != lo[1] or hi[0] <= lo[0]:
+                    continue
+                trial = {c: (hi if cmap[c] == lo else cmap[c])
+                         for c in classes}
+                tg, tt = _build_cfg(trial)
+                moved_nv = sum(class_nv_total[c] for c in classes
+                               if cmap[c] == lo)
+                cost = ROUND_EQ * (hi[0] - lo[0]) * moved_nv
+                gain = pad_now - _pad_of(tg, tt) - cost
+                if gain > 0 and (best is None or gain > best[0]):
+                    best = (gain, trial)
+        if best is None:
+            break
+        cmap = best[1]
+
+    groupcfg, tailcfg = _build_cfg(cmap)
+    roots = sorted({cmap[c] for c in classes})
+
+    # rank spill-up: repeatedly move the widest rank of a low-P group
+    # into a same-(stride, seg_stride) higher-P group while pad drops
+    changed = True
+    while changed:
+        changed = False
+        for (root, ss) in sorted(groupcfg):
+            uppers = [r for r in roots
+                      if r[1] == root[1] and r[0] > root[0]]
+            if not uppers or not any(groupcfg[(root, ss)]):
+                continue
+            lists = groupcfg[(root, ss)]
+            for up in uppers:
+                ugk = (up, ss)
+                ulists = groupcfg.get(ugk,
+                                      [[] for _ in range(n_chips)])
+                pad_before = (
+                    sum(_ladder(lists)) * n_chips
+                    - sum(sum(it[0] for it in l) for l in lists)
+                    + sum(_ladder(ulists)) * n_chips
+                    - sum(sum(it[0] for it in l) for l in ulists))
+                new_lists = [l[1:] for l in lists]
+                new_ulists = [sorted(ul + l[:1], key=lambda t: -t[0])
+                              for ul, l in zip(ulists, lists)]
+                pad_after = (
+                    sum(_ladder(new_lists)) * n_chips
+                    - sum(sum(it[0] for it in l) for l in new_lists)
+                    + sum(_ladder(new_ulists)) * n_chips
+                    - sum(sum(it[0] for it in l) for l in new_ulists))
+                moved = [(l[0] if l else None) for l in lists]
+                cost = ROUND_EQ * sum(
+                    it[0] * (up[0]
+                             - plans[d].streams[it[1].stream].P)
+                    for d, it in enumerate(moved) if it is not None)
+                if pad_before - pad_after > cost:
+                    groupcfg[(root, ss)] = new_lists
+                    groupcfg[ugk] = new_ulists
+                    changed = True
+                    break
+
+    group_keys = sorted(groupcfg)
+    rank_sig = {gk: _ladder(groupcfg[gk]) for gk in group_keys}
+    long_tail = {root: max(per) for root, per in tailcfg.items()}
+    for root in roots:
+        long_tail.setdefault(root, 0)
+
+    # long groups: concat a chip's same-(root, nv_c) groups (the assembly
+    # sums per row, so concatenation is exact), signature = max rows
+    long_sig: Dict[Tuple, int] = {}          # (root, nv_c) -> max rows
+    for d, p in enumerate(plans):
+        cnt: Dict[Tuple, int] = {}
+        for lg in p.longs:
+            s = p.streams[lg.stream]
+            key = (cmap[(s.P, s.stride)], lg.idx.shape[1])
+            cnt[key] = cnt.get(key, 0) + lg.idx.shape[0]
+        for key, R in cnt.items():
+            long_sig[key] = max(long_sig.get(key, 0), R)
 
     B_max = max(p.out_src.shape[0] for p in plans)
     n_long_canon = sum(long_sig.values())
-    n_rows_max = max(p.n_rows for p in plans)
-
-    canon_keys = sorted(seg_sig)     # (P, stride, w8, ordinal) ascending
 
     out_plans: List[WPlan] = []
-    for p in plans:
-        keys = seg_keys(p)
-        by_key = {k: seg for seg, k in zip(p.sell, keys)}
-        stream_of_key = {(s.P, s.stride): i
-                         for i, s in enumerate(p.streams)}
-
+    for d, p in enumerate(plans):
         new_streams: List[WStream] = []
         new_sell: List[SellSegment] = []
         new_longs: List[LongGroup] = []
@@ -2195,67 +2323,91 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
         y2_map: Dict[int, int] = {}
         new_out_row = 0
 
-        for skey in all_keys:
-            P, stride = skey
+        for root in roots:
+            P, stride = root
             vals_parts, idx_parts, wins_parts, cnt_parts = [], [], [], []
             vreg_cursor = 0
-            si = stream_of_key.get(skey)
-            s = p.streams[si] if si is not None else None
-            for key in [k for k in canon_keys if k[:2] == skey]:
-                _, _, w8, seg_stride, _ = key
+            for gk in [g for g in group_keys if g[0] == root]:
+                seg_stride = gk[1]
                 rps = SUB // seg_stride          # y2 rows per slice
-                n_max = seg_sig[key]
-                seg = by_key.get(key)
-                have = seg.n_slices if seg is not None else 0
-                if seg is not None:
-                    lo = seg.vreg_offset * SUB
-                    hi = (seg.vreg_offset + have * w8) * SUB
-                    vals_parts.append(s.vals[lo:hi])
-                    idx_parts.append(s.idx[lo:hi])
-                    wins_parts.append(s.wins[seg.vreg_offset:
-                                             seg.vreg_offset + have * w8])
-                    cnt_parts.append(s.win_counts[seg.vreg_offset:
-                                                  seg.vreg_offset
-                                                  + have * w8])
-                    for k2 in range(have * rps):
-                        y2_map[seg.out_row + k2] = new_out_row + k2
-                pad = (n_max - have) * w8
-                if pad:
-                    vals_parts.append(np.zeros((pad * SUB, LANES)))
-                    idx_parts.append(np.zeros((pad * SUB, LANES),
-                                              dtype=np.int32))
-                    wins_parts.append(np.zeros((pad, s.wins.shape[1]
-                                                if s is not None else P),
-                                               dtype=np.int32))
-                    cnt_parts.append(np.ones(pad, dtype=np.int32))
-                new_sell.append(SellSegment(
-                    stream=len(new_streams), vreg_offset=vreg_cursor,
-                    n_slices=n_max, w8=w8, out_row=new_out_row,
-                    stride=seg_stride))
-                new_out_row += n_max * rps
-                vreg_cursor += n_max * w8
+                widths = rank_sig[gk]
+                own = groupcfg[gk][d]
+                # emit canonical slices rank by rank, coalescing equal
+                # canonical widths into SellSegment runs
+                run = dict(w8=None, n=0, off=0, out=0)
 
-            # long tail for this P-class
-            sell_v = (sum(seg.n_slices * seg.w8 for seg in p.sell
-                          if seg.stream == si) if si is not None else 0)
-            tail_v = (s.n_vregs - sell_v) if s is not None else 0
-            tail_shift = vreg_cursor - sell_v
-            if tail_v:
-                lo = sell_v * SUB
-                vals_parts.append(s.vals[lo:])
-                idx_parts.append(s.idx[lo:])
-                wins_parts.append(s.wins[sell_v:])
-                cnt_parts.append(s.win_counts[sell_v:])
-            pad_tail = long_tail[skey] - tail_v
+                def _flush():
+                    if run["n"]:
+                        new_sell.append(SellSegment(
+                            stream=len(new_streams),
+                            vreg_offset=run["off"], n_slices=run["n"],
+                            w8=run["w8"], out_row=run["out"],
+                            stride=seg_stride))
+                    run["n"] = 0
+
+                for r, w_c in enumerate(widths):
+                    if run["w8"] != w_c or not run["n"]:
+                        _flush()
+                        run.update(w8=w_c, off=vreg_cursor,
+                                   out=new_out_row)
+                    if r < len(own):
+                        w8o, seg, k = own[r]
+                        s_src = p.streams[seg.stream]
+                        v0 = seg.vreg_offset + k * w8o
+                        vals_parts.append(s_src.vals[v0 * SUB:
+                                                     (v0 + w8o) * SUB])
+                        idx_parts.append(s_src.idx[v0 * SUB:
+                                                   (v0 + w8o) * SUB])
+                        wins_parts.append(s_src.wins[v0:v0 + w8o])
+                        cnt_parts.append(s_src.win_counts[v0:v0 + w8o])
+                        for j in range(rps):
+                            y2_map[seg.out_row + k * rps + j] = (
+                                new_out_row + j)
+                        padv = w_c - w8o
+                    else:
+                        padv = w_c
+                    if padv:
+                        vals_parts.append(np.zeros((padv * SUB, LANES)))
+                        idx_parts.append(np.zeros((padv * SUB, LANES),
+                                                  dtype=np.int32))
+                        wins_parts.append(np.zeros((padv, P),
+                                                   dtype=np.int32))
+                        cnt_parts.append(np.ones(padv, dtype=np.int32))
+                    vreg_cursor += w_c
+                    new_out_row += rps
+                    run["n"] += 1
+                _flush()
+
+            # long-vreg tails of every member stream, concatenated in
+            # deterministic (P, stride) order, then padded to the union
+            members = sorted(
+                (si for si, s in enumerate(p.streams)
+                 if cmap[(s.P, s.stride)] == root),
+                key=lambda si: (p.streams[si].P, p.streams[si].stride))
+            shifts: Dict[int, Tuple[int, int]] = {}
+            for si in members:
+                s = p.streams[si]
+                sell_v = sum(seg.n_slices * seg.w8 for seg in p.sell
+                             if seg.stream == si)
+                tv = s.n_vregs - sell_v
+                shifts[si] = (vreg_cursor - sell_v, s.n_vregs)
+                if tv:
+                    lo = sell_v * SUB
+                    vals_parts.append(s.vals[lo:])
+                    idx_parts.append(s.idx[lo:])
+                    wins_parts.append(s.wins[sell_v:])
+                    cnt_parts.append(s.win_counts[sell_v:])
+                vreg_cursor += tv
+            pad_tail = long_tail[root] - tailcfg.get(
+                root, [0] * n_chips)[d]
             if pad_tail:
                 vals_parts.append(np.zeros((pad_tail * SUB, LANES)))
                 idx_parts.append(np.zeros((pad_tail * SUB, LANES),
                                           dtype=np.int32))
-                wins_parts.append(np.zeros((pad_tail, s.wins.shape[1]
-                                            if s is not None else P),
+                wins_parts.append(np.zeros((pad_tail, P),
                                            dtype=np.int32))
                 cnt_parts.append(np.ones(pad_tail, dtype=np.int32))
-            nv_new = vreg_cursor + long_tail[skey]
+            nv_new = vreg_cursor + pad_tail
             if nv_new == 0:
                 new_streams.append(WStream(
                     P=P, vals=np.zeros((0, LANES)),
@@ -2275,36 +2427,37 @@ def harmonize_wplans(plans: List[WPlan]) -> List[WPlan]:
                 wins=wins_cat.astype(np.int32),
                 win_counts=np.concatenate(cnt_parts).astype(np.int32),
                 stride=stride))
-            # remap long idx matrices of this stream
-            if si is not None:
-                nv_old = p.streams[si].n_vregs
+            # remap long idx matrices of the member streams
+            for si in members:
+                shift, nv_old = shifts[si]
                 for lg in p.longs:
                     if lg.stream != si:
                         continue
                     idx = lg.idx.astype(np.int64)
-                    idx = np.where(idx >= nv_old, nv_new,
-                                   idx + tail_shift)
+                    idx = np.where(idx >= nv_old, nv_new, idx + shift)
                     new_longs.append(LongGroup(
                         stream=len(new_streams) - 1,
                         idx=idx.astype(np.int32),
                         scalar_pos=lg.scalar_pos.copy()))
 
-        # pad long groups to the canonical ((P, stride), nv_c) signature
+        # pad long groups to the canonical (root, nv_c) signature; a
+        # chip's same-key groups concatenate (the assembly sums per row)
         final_longs: List[LongGroup] = []
         scalar_pad_cursor = p.n_long
-        for (skey, nv_c) in sorted(long_sig):
-            R_max = long_sig[(skey, nv_c)]
-            stream_id = all_keys.index(skey)
+        for (root, nv_c) in sorted(long_sig):
+            R_max = long_sig[(root, nv_c)]
+            stream_id = roots.index(root)
             nv_new = new_streams[stream_id].n_vregs
             match = [lg for lg in new_longs
                      if lg.stream == stream_id and lg.idx.shape[1] == nv_c]
             if match:
-                lg = match[0]
-                R = lg.idx.shape[0]
+                mi = np.concatenate([m.idx for m in match])
+                ms = np.concatenate([m.scalar_pos for m in match])
+                R = mi.shape[0]
                 idx = np.full((R_max, nv_c), nv_new, dtype=np.int32)
-                idx[:R] = lg.idx
+                idx[:R] = mi
                 spos = np.zeros(R_max, dtype=np.int64)
-                spos[:R] = lg.scalar_pos
+                spos[:R] = ms
             else:
                 R = 0
                 idx = np.full((R_max, nv_c), nv_new, dtype=np.int32)

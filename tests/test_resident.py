@@ -207,7 +207,9 @@ def test_resident_compression_when_over_budget(monkeypatch):
     assert arrays2["resident"].get("lo16") is not None
     import jax
     op._meta = meta2
-    op._src_host = (arrays2["out_src"].copy())
+    # mirror PallasSpMV.__init__: residue-routing entries (> n_y2_rows)
+    # are stripped from the resident og program
+    op._src_host = np.minimum(arrays2["out_src"], meta2.n_y2_rows)
     op._arrays = jax.device_put(arrays2)
     op._resident_jit = None
     assert op.resident

@@ -103,7 +103,16 @@ def partial_spmv(stage):
         if arrays["overflow"] is not None:
             o = arrays["overflow"]
             xg = jnp.take(x2d.reshape(-1), o["cols"], mode="clip")
-            y = y.at[o["rows"]].add(o["vals"] * xg, mode="drop")
+            pc = jnp.concatenate([o["vals"] * xg,
+                                  jnp.zeros(1, jnp.float32)])
+            parts = [jnp.take(pc, t, mode="clip").sum(axis=1)
+                     if t.shape[1] > 1 else
+                     jnp.take(pc, t[:, 0], mode="clip")
+                     for t in o["trees"]]
+            c = jnp.take(jnp.concatenate(parts), o["sort_back"])
+            y = y.at[o["tree_rows"]].add(c, mode="drop",
+                                         indices_are_sorted=True,
+                                         unique_indices=True)
         return y
 
     @jax.jit

@@ -168,7 +168,11 @@ if arrays["overflow"] is not None:
 
     def ovf(i, x2d):
         xg = jnp.take(x2d.reshape(-1) + i * eps, o["cols"], mode="clip")
-        y = jnp.zeros(meta.n_rows, jnp.float32)
-        return y.at[o["rows"]].add(o["vals"] * xg, mode="drop")[0]
+        pc = jnp.concatenate([o["vals"] * xg, jnp.zeros(1, jnp.float32)])
+        parts = [jnp.take(pc, t, mode="clip").sum(axis=1)
+                 if t.shape[1] > 1 else
+                 jnp.take(pc, t[:, 0], mode="clip")
+                 for t in o["trees"]]
+        return jnp.take(jnp.concatenate(parts), o["sort_back"])[0]
 
     time_loop("overflow", ovf, x2d)
