@@ -47,7 +47,9 @@ BCOO_RISK_NNZ = 19_000_000
 # v4: round tag moved from slot to cell bits (wplan.py)
 # v5: window-capacity w8 floor + MED_BUCKETS 32/64 classes (R-MAT)
 # v6: s_rows-aware stream-merge fixed cost
-PLAN_CACHE_VER = 7     # v7: row length-grouping composes with sym relabel
+# v7: row length-grouping composes with sym relabel
+PLAN_CACHE_VER = 8     # v8: realized-fill dump (config.fill_dump) +
+#                        residue sub-plan escape (RES_REPACK_MIN)
 
 
 class _Summary:

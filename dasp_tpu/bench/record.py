@@ -43,6 +43,10 @@ FIELDS = [
     # (TPU has no f64 datapath — the analog of the reference's f16
     # binary running cuSPARSE at fp32 compute, main_f16.cu:57-58)
     "baseline_dtype", "baseline_time", "baseline_gflops",
+    # baseline setup wall (ms): BCOO construction + upload — the analog
+    # of the cuSPARSE preprocessing wall the reference records
+    # (main_f64.cu:48-63)
+    "baseline_pre",
 ]
 
 
@@ -87,6 +91,8 @@ def update_baseline(path: str, filename: str, baseline,
             cells[idx["baseline_time"]] = str(
                 round(baseline.seconds_per_iter * 1e3, 6))
             cells[idx["baseline_gflops"]] = str(round(baseline.gflops, 3))
+            cells[idx["baseline_pre"]] = str(
+                round(baseline.preprocess_seconds * 1e3, 3))
             line = ",".join(cells)
         out.append(line)
     with open(path, "w") as f:
@@ -142,4 +148,5 @@ def record_from(plan, result, name: str, dtype: str,
         row["baseline_dtype"] = baseline_dtype or dtype
         row["baseline_time"] = round(baseline.seconds_per_iter * 1e3, 6)
         row["baseline_gflops"] = round(baseline.gflops, 3)
+        row["baseline_pre"] = round(baseline.preprocess_seconds * 1e3, 3)
     return row

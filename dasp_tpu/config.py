@@ -67,6 +67,17 @@ class DaspConfig:
         the quantized-width model predicts a real fill saving, and never
         on top of a symmetric relabel (which needs row order == column
         order for on-device iteration).
+      fill_dump: realized-fill floor for SELL/pool slices — slices whose
+        post-routing fill lands below it dump their elements into the
+        COO residue.  Default 0 = OFF, a MEASURED negative result
+        (round 5): even a 1%-fill slice streams its elements at
+        ~3-4 ns each (1024 slots x 6 B / ~10 elements at the ~190 GB/s
+        realized stream rate), while a residue element pays the
+        terminal per-element correction (~9 ns/row XLA scatter or
+        another sub-plan level) — rmat_like at fill_dump=0.12 moved
+        290k elements residue-ward and measured 6.6 vs ~6.2 ms/iter.
+        Kept as a knob because the trade flips if the terminal path
+        ever gets a Pallas scatter.
       strict_f64: keep the FULL double-double pipeline on f64 operators
         regardless of plan size.  By default, production-size streamed dd
         plans (past a ~16 MB floor) run their column-sum products in
@@ -91,6 +102,7 @@ class DaspConfig:
     # (P-weighted vreg cost ratios 0.709-0.773 vs 0.746-0.788 at 8)
     relabel_hub_deg: int = 4
     row_sort: str = "auto"
+    fill_dump: float = 0.0
     strict_f64: bool = False
 
     def __post_init__(self):
@@ -115,6 +127,8 @@ class DaspConfig:
                 "relabel must be 'auto', 'off' or 'first_touch'")
         if self.row_sort not in ("auto", "off", "on"):
             raise ValueError("row_sort must be 'auto', 'off' or 'on'")
+        if not (0.0 <= self.fill_dump < 1.0):
+            raise ValueError("fill_dump must be in [0, 1)")
 
 
 DEFAULT_CONFIG = DaspConfig()

@@ -568,16 +568,37 @@ class WMeta(NamedTuple):
     # us/iter on livejournal, ~4.7 ns per block-slot).  () = one range
     # at k_used (multichip pins k_sources for cross-chip uniformity).
     og_ranges: Tuple[Tuple[int, int, int], ...] = ()
+    # Large COO residues are REPACKED as a sub-plan and run as a second
+    # windowed SpMV through the same kernels (y += y_sub): XLA's
+    # per-element takes/scatters run at ~5-25 ns/element on TPU, so
+    # rmat_like's 179k-element residue cost more than the whole packed
+    # SpMV either way it was expressed in XLA (measured: 58 ms as a
+    # tree+scatter, ~6 ms as gather-only y2 routing, ~0.4 ms repacked).
+    # None = residue small enough for the XLA paths (or depth limit).
+    res: Optional["WMeta"] = None
+
+
+# Residue element count above which the COO correction is repacked as a
+# sub-plan instead of running through XLA takes (see WMeta.res).  Below
+# it, the terminal XLA correction is cheaper than a second outgather
+# pass over all B_pad blocks.  Each sub level re-packs the previous
+# level's rejects with fresh window cells; the residue decays ~2.2x per
+# level on rmat_like (137k -> 64k -> 30k rows), so a few levels shrink
+# the ~9 ns/row terminal scatter while each level adds only ~0.2 ms of
+# well-streamed kernels.
+RES_REPACK_MIN = 16384
+RES_MAX_DEPTH = 3
 
 
 @gc_paused
 def plan_to_arrays(plan, dtype: str = "f32",
                    include_overflow: bool = True, k_sources=None,
-                   strict_f64: bool = False):
+                   strict_f64: bool = False, _res_depth: int = 0):
     # k_sources overrides the used-slot trim (multi-chip stacking needs
     # one shared K across chips)
     # strict_f64: keep the full dd pipeline on big plans (disables the
     # bf16-lo store and the f32-colsum tier; see DaspConfig.strict_f64)
+    # _res_depth: recursion guard for the residue sub-plan (WMeta.res)
     from ..sparse import CSRMatrix
     if isinstance(plan, CSRMatrix):
         plan = build_wplan(plan)
@@ -727,8 +748,35 @@ def plan_to_arrays(plan, dtype: str = "f32",
     #    back to the sorted scatter.
     overflow_meta = None
     arrays["overflow"] = None
+    res_meta = None
     if include_overflow and plan.overflow is not None and plan.overflow.nnz:
         o = plan.overflow
+        # Large residues: repack as a sub-plan (fresh slices, fresh
+        # window cells — routing conflicts cannot recur) and run as a
+        # second windowed SpMV (see WMeta.res).  The sub-plan shares the
+        # main plan's x table (same n_cols, relabel/row_sort off) and is
+        # memoized on the plan across dtype lowerings.  The resident
+        # executor ignores it (its wrapper scatters the octave-tree sums
+        # — residues this large never fit the resident budget anyway).
+        if (o.nnz >= RES_REPACK_MIN and _res_depth < RES_MAX_DEPTH
+                and k_sources is None):
+            sub_plan = getattr(plan, "_res_plan", None)
+            if sub_plan is None:
+                import dataclasses as _dc
+                subcfg = _dc.replace(plan.config, relabel="off",
+                                     row_sort="off", fill_dump=0.0)
+                sub_plan = build_wplan(o, subcfg, sym_ok=False)
+                try:
+                    plan._res_plan = sub_plan
+                except Exception:
+                    pass
+            sub_meta, sub_arrays = plan_to_arrays(
+                sub_plan, dtype, include_overflow=True,
+                strict_f64=strict_f64, _res_depth=_res_depth + 1)
+            if (sub_meta.s_rows == plan.s_rows
+                    and sub_meta.n_rows == plan.n_rows):
+                res_meta = sub_meta
+                arrays["res"] = sub_arrays
         entry = dict(cols=o.col_idx.astype(np.int32))
         lens_o = o.row_lengths
         urows = np.flatnonzero(lens_o > 0)
@@ -752,12 +800,27 @@ def plan_to_arrays(plan, dtype: str = "f32",
         # concat order -> row-sorted order (resident scatter path)
         entry["sort_back"] = pos_of.astype(np.int32)
         entry["tree_rows"] = urows.astype(np.int32)
-        # y2 routing: one extra y2 row per residue block holding the
-        # block's per-lane sums (target-lane layout, identity perm)
+        # Terminal correction dispatch (static, recorded in
+        # overflow_meta): XLA runs per-element takes at ~2.6 ns and the
+        # sorted-unique scatter at ~9 ns on this chip (tools/take_probe,
+        # loop-carried operands so LICM cannot hoist).  The y2 route
+        # costs takes over lane_table (touched blocks x 128) + trees +
+        # products; the scatter costs 9 ns x residue rows + the same
+        # tree takes.  rmat's sub-plan residue (66k rows spread over
+        # 15k blocks = 1.9M lane entries) measured 4.9 ms via the
+        # route vs ~0.6 ms scattered — pick per plan.
         blk_o = urows // LANES
         res_blocks = np.unique(blk_o)
+        tree_slots = int(sum(t.size for t in trees))
+        route_cost = 2.6 * (res_blocks.size * LANES + o.nnz + tree_slots)
+        scatter_cost = 9.0 * urows.size + 2.6 * (o.nnz + tree_slots
+                                                 + urows.size)
+        use_scatter = res_meta is None and scatter_cost < route_cost
+        overflow_meta = ("scatter" if use_scatter else "route",)
         kslot = last[res_blocks]
-        ok_b = kslot < K_SOURCES
+        ok_b = (kslot < K_SOURCES
+                if res_meta is None and not use_scatter
+                else np.zeros(res_blocks.size, dtype=bool))
         keep_blocks = res_blocks[ok_b]
         row_ok = ok_b[np.searchsorted(res_blocks, blk_o)]
         if keep_blocks.size:
@@ -818,7 +881,8 @@ def plan_to_arrays(plan, dtype: str = "f32",
                  n_long=plan.n_long, n_long_rows=n_long_rows,
                  n_y2_rows=plan.n_y2_rows, B_pad=B_pad,
                  overflow_meta=overflow_meta, interpret=not _on_tpu(),
-                 k_used=k_used, dd_f32=dd_f32, og_ranges=og_ranges)
+                 k_used=k_used, dd_f32=dd_f32, og_ranges=og_ranges,
+                 res=res_meta)
     return meta, arrays
 
 
@@ -908,9 +972,10 @@ def _assemble_y(meta: WMeta, arrays: Dict, partials, x2d):
 
     # COO residue: octave-tree per-row sums routed into y2 as one extra
     # 128-lane row per residue block (consumed by the outgather through
-    # a reserved out_src slot — no scatter; see plan_to_arrays)
+    # a reserved out_src slot — no scatter; see plan_to_arrays).  Large
+    # residues run as a repacked sub-plan instead (meta.res).
     rsums = None
-    if arrays["overflow"] is not None:
+    if arrays["overflow"] is not None and meta.res is None:
         o = arrays["overflow"]
         xg = jnp.take(x2d.reshape(-1), o["cols"], mode="clip")
         pc = jnp.concatenate([o["vals"] * xg, jnp.zeros(1, jnp.float32)])
@@ -943,6 +1008,9 @@ def _assemble_y(meta: WMeta, arrays: Dict, partials, x2d):
         y = y.at[o["fb_rows"]].add(
             jnp.take(rsums, o["fb_pos"], mode="clip"), mode="drop",
             indices_are_sorted=True, unique_indices=True)
+    if meta.res is not None:
+        y = y + spmv_fn(meta.res, arrays["res"],
+                        x2d).astype(jnp.float32)
     return y
 
 
@@ -1053,9 +1121,10 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
     y2h_parts.append(jnp.zeros((1, LANES), jnp.float32))
     y2l_parts.append(jnp.zeros((1, LANES), jnp.float32))
 
-    # COO residue via y2 routing (see _assemble_y), compensated sums
+    # COO residue via y2 routing (see _assemble_y), compensated sums;
+    # large residues run as a repacked sub-plan instead (meta.res)
     rs = None
-    if arrays["overflow"] is not None:
+    if arrays["overflow"] is not None and meta.res is None:
         o = arrays["overflow"]
         gh = jnp.take(xh.reshape(-1), o["cols"], mode="clip")
         gl = jnp.take(xl.reshape(-1), o["cols"], mode="clip")
@@ -1108,6 +1177,9 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
             jnp.take(rs[1], o["fb_pos"], mode="clip"), mode="drop",
             indices_are_sorted=True, unique_indices=True)
         yh, yl = dd.add(yh, yl, zh, zl, safe=True)
+    if meta.res is not None:
+        y_sub = _spmv_dd(meta.res, arrays["res"], x2d)
+        yh, yl = dd.add(yh, yl, y_sub["hi"], y_sub["lo"], safe=True)
     return dict(hi=yh, lo=yl)
 
 

@@ -1015,6 +1015,7 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                 for s_, c_ in zip(u.tolist(), c.tolist()):
                     loss[int(s_)] = int(c_)
             results = {}
+            elem_rng = {}
             for sid in slice_ids:
                 s, w8, _ = slices[sid]
                 lo = base_of[sid]
@@ -1022,9 +1023,11 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                          for v in range(lo, lo + w8)]
                 p_used = max([1] + [t[2].size for t in tiles])
                 results[sid] = (tiles, w8, p_used)
+                elem_rng[sid] = (int(offsets[lo]), int(offsets[lo + w8]))
             rejects = (erow_s[ovf_sorted], col_s[ovf_sorted],
                        val_s[ovf_sorted])
-            return results, loss, rejects
+            return (results, loss, rejects,
+                    (elem_rng, erow_s, col_s, val_s))
 
         elems_b = np.bincount(blk[rows_sell_all], weights=reg_all,
                               minlength=B).astype(np.int64)
@@ -1039,18 +1042,38 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
         pending = list(range(len(slices)))
         set_levels()
         for attempt in range(4):
-            results, loss, rejects = batch_route_slices(pending)
+            results, loss, rejects, elems = batch_route_slices(pending)
+            elem_rng, el_r, el_c, el_v = elems
             still = []
             accepted = set()
             for sid in pending:
                 s, w8, bl = slices[sid]
-                budget = 0.05 * max(int(elems_b[bl].sum()), 1)
+                n_el = int(elems_b[bl].sum())
+                budget = 0.05 * max(n_el, 1)
                 growable = (s < SUB) or (w8 != W8_CLASSES[-1])
                 if loss[sid] > budget and growable and attempt < 3:
                     still.append(sid)
-                else:
-                    final_results[sid] = results[sid]
-                    accepted.add(sid)
+                    continue
+                # Realized-fill floor: scattered blocks keep a private
+                # slice priced on PRE-routing counts, then most elements
+                # spill — the slice streams ~1024*w8 slots for a handful
+                # of survivors (livejournal v7: ~3.3M slots at 0.9-7%
+                # fill in w8=1 block slices).  Dump such slices
+                # wholesale into the COO residue; large residues repack
+                # as a sub-plan (RES_REPACK_MIN), so a dumped element
+                # costs ~1 well-filled slot instead of ~10-100 here.
+                routed_n = n_el - loss[sid]
+                if (config.fill_dump > 0.0
+                        and routed_n < config.fill_dump
+                        * (LANES * SUB * w8)):
+                    e0, e1 = elem_rng[sid]
+                    if e1 > e0:
+                        ovf_r.append(el_r[e0:e1])
+                        ovf_c.append(el_c[e0:e1])
+                        ovf_v.append(el_v[e0:e1])
+                    continue            # not accepted: rejects included
+                final_results[sid] = results[sid]
+                accepted.add(sid)
             # keep rejects belonging to accepted slices
             if rejects[0].size:
                 rj_sid = np.array([slice_of_block[blk[r]]
@@ -1415,6 +1438,28 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                     for r in np.unique(er[dropm]):
                         selr = dropm & (er == r)
                         add_frag(int(r), ec[selr], ev[selr])
+            # Realized-fill floor (see the block-slice analog above):
+            # shared pool slices whose width quantization leaves them
+            # nearly empty (livejournal v7: ~3.3M slots at 0.9-9% fill
+            # in the ss=8 pool levels) dump their survivors into the
+            # COO residue instead of streaming ~1024*w8 slots for them.
+            kept = int((local < cap).sum()) - n_ovf
+            if (config.fill_dump > 0.0
+                    and kept < config.fill_dump * (LANES * SUB * w8)):
+                in_ovf = np.zeros(er.size, dtype=bool)
+                for sel_v in ovfs:
+                    in_ovf[sel_v] = True
+                keptm = (local < cap) & ~in_ovf
+                if keptm.any():
+                    ovf_r.append(er[keptm])
+                    ovf_c.append(ec[keptm])
+                    ovf_v.append(ev[keptm])
+                # roll back the slot bookkeeping claimed at emit entry
+                n_rem_slices[level] -= 1
+                for mb in member_blocks:
+                    rem_slice_of_block[level][mb] = -1
+                rem_lane_of_row[level][slice_rows] = -1
+                return
             packets.append(_Packet(kind, w8, _p_class(p_used, p_cap),
                                    tiles, sid))
 

@@ -204,6 +204,32 @@ def test_pallas_interpret_matches_golden(rng, name):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("dtype", ["f32", "f64"])
+def test_pallas_residue_subplan_matches_golden(rng, dtype, monkeypatch):
+    """Large COO residues are repacked as a sub-plan and run as a second
+    windowed SpMV (WMeta.res; plan_to_arrays).  Force the path by
+    dropping the threshold so ANY residue triggers it, then golden-check
+    an input whose packer leaves a residue."""
+    from dasp_tpu.ops import pallas_backend as pb
+    monkeypatch.setattr(pb, "RES_REPACK_MIN", 1)
+    # wide + scattered short rows: blocks span many windows, so cell
+    # conflicts leave a residue (the rmat_like failure mode in miniature)
+    n = 40_000
+    csr = random_csr(n, n, rng.integers(1, 8, size=n), rng)
+    plan = build_wplan(csr)
+    assert plan.overflow is not None and plan.overflow.nnz, \
+        "fixture must produce a residue"
+    op = pb.PallasSpMV(plan, dtype=dtype)
+    assert op._meta.res is not None, "sub-plan path not taken"
+    x = rng.standard_normal(csr.n_cols)
+    y = op(x)
+    golden = csr.spmv(x)
+    scale = np.maximum(np.abs(golden), 1.0)
+    tol = 2e-5 if dtype == "f32" else 1e-10
+    np.testing.assert_allclose(y / scale, golden / scale,
+                               rtol=tol, atol=tol)
+
+
 @pytest.mark.parametrize("name", ["tiny", "mixed", "powerlaw"])
 def test_pallas_f64_dd_precision(rng, name):
     """The dd-f64 path must hold ~double precision end to end (the
