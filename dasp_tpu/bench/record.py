@@ -22,7 +22,11 @@ FIELDS = [
     # and compile_seconds the XLA/Mosaic compile wall of the timed loops
     # (a TPU-runtime cost with no CUDA analog, amortized by the
     # persistent cache) — split so the two are checkable separately
-    "dasp_pre", "pack_seconds", "compile_seconds",
+    # pack_probe_ms: fixed 1M-argsort host-speed probe taken right
+    # before the pack (this box's one burst-credit vCPU drifts 87x;
+    # ~110 ms in a burst window) — normalize pack_seconds by
+    # probe_ms/110 for a host-calibrated number
+    "dasp_pre", "pack_seconds", "pack_probe_ms", "compile_seconds",
     # element count of the COO-dreg residue the packer could not route.
     # Usually <0.01% of nnz; clustered-community graphs (rmat_like)
     # measured up to ~3.6% on the round-4 format — no hard bound is
@@ -133,6 +137,7 @@ def record_from(plan, result, name: str, dtype: str,
         variant=variant,
         dasp_pre=round(result.preprocess_seconds * 1e3, 3),
         pack_seconds=round(float(plan.stats.get("pack_seconds", 0.0)), 3),
+        pack_probe_ms=round(float(plan.stats.get("pack_probe_ms", 0.0)), 1),
         compile_seconds=round(
             getattr(result, "compile_seconds", 0.0), 3),
         coo_residue=(int(plan.overflow.nnz)

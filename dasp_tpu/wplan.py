@@ -672,6 +672,18 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # the index stream ships as int16 — 25% less HBM traffic at fp32.
     csr.check()
     import os as _os, time as _time
+    # Host-speed probe stored next to the pack wall: this box's ONE
+    # burst-credit vCPU drifts 87x (fixed numpy probe 15 ms - 1.3 s), so
+    # a raw pack_seconds is uninterpretable on its own.  The same
+    # fixed argsort measured ~110 ms in a burst window — readers
+    # normalize pack_seconds by probe_ms/110 for a calibrated number.
+    # Only paid on production-size inputs (the probe costs ~0.1-1 s).
+    probe_ms = 0.0
+    if csr.nnz >= 4_000_000:
+        _pa = np.random.default_rng(0).standard_normal(1_000_000)
+        _t0 = _time.perf_counter()
+        _pa.argsort()
+        probe_ms = (_time.perf_counter() - _t0) * 1e3
     _t = [_time.perf_counter()]
 
     def _pt(tag):
@@ -2148,6 +2160,10 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
                      for k, v in sorted(raw_key_mass.items())],
         "class_map": [[list(k), list(v)]
                       for k, v in sorted(final_key.items())],
+        # host-speed probe wall (ms) taken right before this pack; see
+        # the probe comment at build_wplan entry (0 = small input,
+        # probe skipped)
+        "pack_probe_ms": round(probe_ms, 1),
     }
     _pt('census')
     plan = WPlan(
