@@ -1040,6 +1040,44 @@ def spmm_fn(meta: WMeta, arrays: Dict, x3d, kv: int = KV_SPMM):
     return out
 
 
+def spmm_fn_dd(meta: WMeta, arrays: Dict, x3d, kv: int = KV_SPMM):
+    """f64 SpMM fast tier: the dd products decompose as vh*xh (the hi
+    partial) + (vh*xl + vl*xh) (the lo partial, vl*xl ~ 2^-48 dropped),
+    all computed as plain-f32 multi-x colsums — the hi and lo A value
+    streams are each read ONCE per kv vectors instead of once per
+    vector on the vmapped dd path.  Pass A runs vals_hi against the
+    2*kv stacked (xh..., xl...) tables; pass B runs vals_lo against the
+    kv xh tables.  Downstream reductions stay compensated dd
+    (_assemble_dd), so the error bound matches the DD_F32_COLSUM_P
+    streamed tier: ~2^-24 of the row's absolute mass (~1e-7 relative),
+    inside the reference's 1e-5 contract (main_f64.cu:8) but below
+    full-dd; full-accuracy callers use the vmapped executor
+    (config.strict_f64).  x3d: {"hi","lo"} each (kv*s_rows, 128)."""
+    S = meta.s_rows
+    xh, xl = x3d["hi"], x3d["lo"]
+    xcat = jnp.concatenate([xh, xl], axis=0)
+    mA: Dict[int, jnp.ndarray] = {}
+    mB: Dict[int, jnp.ndarray] = {}
+    ys_h, ys_l = [], []
+    for j in range(kv):
+        partials = []
+        for si, ((P, stride, NV), st) in enumerate(
+                zip(meta.streams, arrays["streams"])):
+            if si not in mA:
+                mA[si] = _make_colsum_multi(
+                    P, S, NV, meta.interpret, stride, kv=2 * kv)(
+                    st["wins"], st["vals_hi"], st["idx"], xcat)
+                mB[si] = _make_colsum_multi(
+                    P, S, NV, meta.interpret, stride, kv=kv)(
+                    st["wins"], st["vals_lo"], st["idx"], xh)
+            partials.append((mA[si][j], mA[si][kv + j] + mB[si][j]))
+        y = _assemble_dd(meta, arrays, partials,
+                         xh[j * S:(j + 1) * S], xl[j * S:(j + 1) * S])
+        ys_h.append(y["hi"])
+        ys_l.append(y["lo"])
+    return dict(hi=jnp.stack(ys_h), lo=jnp.stack(ys_l))
+
+
 def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
     """f64 (double-double) executor: hi/lo everywhere, compensated sums."""
     from . import dd
@@ -1063,7 +1101,13 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
                                stride)
         partials[si] = call(st["wins"], st["vals_hi"], st["vals_lo"],
                             st["idx"], xh, xl)
+    return _assemble_dd(meta, arrays, partials, xh, xl)
 
+
+def _assemble_dd(meta: WMeta, arrays: Dict, partials, xh, xl):
+    """dd glue from per-stream (hi, lo) partials to y {hi, lo}: shared
+    by the single-vector dd executor and the dd SpMM tier."""
+    from . import dd
     y2h_parts, y2l_parts = [], []
     for stream, off, n_slices, w8, stride in meta.sell_segs:
         R_st = SUB // meta.streams[stream][1]
@@ -1178,7 +1222,7 @@ def _spmv_dd(meta: WMeta, arrays: Dict, x2d):
             indices_are_sorted=True, unique_indices=True)
         yh, yl = dd.add(yh, yl, zh, zl, safe=True)
     if meta.res is not None:
-        y_sub = _spmv_dd(meta.res, arrays["res"], x2d)
+        y_sub = _spmv_dd(meta.res, arrays["res"], dict(hi=xh, lo=xl))
         yh, yl = dd.add(yh, yl, y_sub["hi"], y_sub["lo"], safe=True)
     return dict(hi=yh, lo=yl)
 
@@ -1234,6 +1278,8 @@ class PallasSpMV:
                              if arrays.get("resident") is not None else None)
         self._arrays = jax.device_put(arrays)
         self._fn = jax.jit(spmv_fn, static_argnums=0)
+        # full-dd matmat callers keep the vmapped executor (_spmm_dd_kv)
+        self._strict_f64 = (config or DEFAULT_CONFIG).strict_f64
         self.preprocess_seconds = time.perf_counter() - t0
 
     n_rows = property(lambda self: self.plan.n_rows)
@@ -1336,16 +1382,31 @@ class PallasSpMV:
         fn = getattr(self, "_matmat_jit", None)
         if fn is None:
             meta = self._meta
-            if self.dtype == "f64" or self._spmm_kv() == 1:
+            kv = self._spmm_dd_kv() if self.dtype == "f64" \
+                else self._spmm_kv()
+            if kv == 1:
                 fn = jax.jit(jax.vmap(lambda a, xd: spmv_fn(meta, a, xd),
                                       in_axes=(None, 0)))
+            elif self.dtype == "f64":
+                # dd cross-product tier: hi and lo A streams each read
+                # once per kv vectors (see spmm_fn_dd)
+                fn = jax.jit(lambda a, x3: spmm_fn_dd(meta, a, x3, kv))
             else:
                 # multi-x colsum: the A stream is read once per kv
                 # vectors instead of once per vector
-                kv = self._spmm_kv()
                 fn = jax.jit(lambda a, x3: spmm_fn(meta, a, x3, kv))
             self._matmat_jit = fn
         return fn
+
+    def _spmm_dd_kv(self) -> int:
+        """dd SpMM vectors per pass: pass A stages 2*kv x tables, so
+        halve the f32 budget answer; kv=1 falls back to the vmapped dd
+        executor (full-dd accuracy, A streams re-read per vector).
+        Callers needing full-dd accuracy set config.strict_f64 (the
+        operator then keeps the vmapped path regardless)."""
+        if getattr(self, "_strict_f64", False):
+            return 1
+        return max(1, self._spmm_kv() // 2)
 
     def matmat(self, X):
         """Multi-vector SpMV (SpMM): Y = A @ X for X of shape (n_cols, k).
@@ -1356,13 +1417,37 @@ class PallasSpMV:
         X = np.asarray(X)
         k = X.shape[1]
         if self.dtype == "f64":
-            stacked = jax.tree.map(
-                lambda *xs: jnp.stack(xs),
-                *[prep_x(self._meta, X[:, j], self.plan.col_perm)
-                  for j in range(k)])
-            y = self._matmat_fn()(self._arrays, stacked)
             from . import dd
-            out = dd.to_f64(np.asarray(y["hi"]), np.asarray(y["lo"])).T
+            kv = self._spmm_dd_kv()
+            if kv == 1:
+                stacked = jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[prep_x(self._meta, X[:, j], self.plan.col_perm)
+                      for j in range(k)])
+                y = self._matmat_fn()(self._arrays, stacked)
+                out = dd.to_f64(np.asarray(y["hi"]),
+                                np.asarray(y["lo"])).T
+            else:
+                S = self._meta.s_rows
+                fn = self._matmat_fn()
+                cols_h, cols_l = [], []
+                for c0 in range(0, k, kv):
+                    xs = [prep_x(self._meta, X[:, j], self.plan.col_perm)
+                          for j in range(c0, min(c0 + kv, k))]
+                    while len(xs) < kv:       # zero-pad the last chunk
+                        xs.append(dict(
+                            hi=np.zeros((S, LANES), np.float32),
+                            lo=np.zeros((S, LANES), np.float32)))
+                    x3 = dict(
+                        hi=jnp.asarray(np.concatenate(
+                            [x["hi"] for x in xs], axis=0)),
+                        lo=jnp.asarray(np.concatenate(
+                            [x["lo"] for x in xs], axis=0)))
+                    y = fn(self._arrays, x3)
+                    cols_h.append(np.asarray(y["hi"]))
+                    cols_l.append(np.asarray(y["lo"]))
+                out = dd.to_f64(np.concatenate(cols_h, axis=0)[:k],
+                                np.concatenate(cols_l, axis=0)[:k]).T
         elif self._spmm_kv() == 1:
             stacked = jnp.asarray(np.stack(
                 [prep_x(self._meta, X[:, j], self.plan.col_perm)

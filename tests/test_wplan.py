@@ -297,6 +297,29 @@ def test_matmat_multivector(rng):
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_matmat_f64_dd_tier(rng):
+    """f64 SpMM cross-product tier (spmm_fn_dd): the hi/lo A streams
+    are read once per kv vectors; error bound matches the streamed
+    DD_F32_COLSUM tier (~2^-24 of row mass).  strict_f64 keeps the
+    full-dd vmapped path."""
+    from dasp_tpu.config import DaspConfig
+    from dasp_tpu.ops.pallas_backend import PallasSpMV
+    csr = CASES["mixed"](rng)
+    op = PallasSpMV(csr, dtype="f64")
+    assert op._spmm_dd_kv() > 1, "fixture must take the dd SpMM tier"
+    X = rng.standard_normal((csr.n_cols, 5))     # forces chunk padding
+    Y = op.matmat(X)
+    assert Y.shape == (csr.n_rows, 5)
+    for j in range(5):
+        golden = csr.spmv(X[:, j])
+        scale = np.maximum(np.abs(golden), 1.0)
+        np.testing.assert_allclose(Y[:, j] / scale, golden / scale,
+                                   rtol=2e-6, atol=2e-6)
+    strict = PallasSpMV(build_wplan(csr, DaspConfig(strict_f64=True)),
+                        dtype="f64", config=DaspConfig(strict_f64=True))
+    assert strict._spmm_dd_kv() == 1
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6, 7, 8])
 def test_fuzz_packer_vs_golden(seed):
     """Randomized packer fuzz across all matrix archetypes (uniform,
