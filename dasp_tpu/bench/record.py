@@ -24,8 +24,8 @@ FIELDS = [
     # persistent cache) — split so the two are checkable separately
     # pack_probe_ms: fixed 1M-argsort host-speed probe taken right
     # before the pack (this box's one burst-credit vCPU drifts 87x;
-    # ~110 ms in a burst window) — normalize pack_seconds by
-    # probe_ms/110 for a host-calibrated number
+    # ~42 ms in a full-burst window) — normalize pack_seconds by
+    # probe_ms/42 for a host-calibrated number
     "dasp_pre", "pack_seconds", "pack_probe_ms", "compile_seconds",
     # element count of the COO-dreg residue the packer could not route.
     # Usually <0.01% of nnz; clustered-community graphs (rmat_like)

@@ -675,8 +675,8 @@ def build_wplan(csr: CSRMatrix, config: DaspConfig = DEFAULT_CONFIG,
     # Host-speed probe stored next to the pack wall: this box's ONE
     # burst-credit vCPU drifts 87x (fixed numpy probe 15 ms - 1.3 s), so
     # a raw pack_seconds is uninterpretable on its own.  The same
-    # fixed argsort measured ~110 ms in a burst window — readers
-    # normalize pack_seconds by probe_ms/110 for a calibrated number.
+    # fixed argsort measured ~42 ms in a full-burst window — readers
+    # normalize pack_seconds by probe_ms/42 for a calibrated number.
     # Only paid on production-size inputs (the probe costs ~0.1-1 s).
     probe_ms = 0.0
     if csr.nnz >= 4_000_000:
