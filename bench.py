@@ -106,10 +106,15 @@ def main() -> int:
     ap.add_argument("--csv-dir", default="data")
     ap.add_argument("--deadline", type=float,
                     default=float(os.environ.get("DASP_BENCH_DEADLINE",
-                                                 2000)),
+                                                 3600)),
                     help="self-imposed wall budget (s); the summary is "
                          "printed and the process exits 0 when it fires "
-                         "(0 disables)")
+                         "(0 disables).  Default is ABOVE the observed "
+                         "~40 min a warm complete suite needs: the "
+                         "summary line is re-printed incrementally, so "
+                         "an external kill still leaves the most "
+                         "complete record — a self-deadline that fires "
+                         "EARLY can only truncate arms_done.")
     # The reference's tunables were argv[2]/argv[3] before being hardcoded
     # (main_f64.cu:121-125); expose them so they can be swept on TPU.
     ap.add_argument("--block-longest", type=int, default=None,
@@ -236,13 +241,39 @@ def main() -> int:
     # loops clear the overhead floor at iters=10.
     bcoo_cache = {}          # (name, bdt) -> BenchResult | None
 
+    # The BCOO numbers are properties of (matrix, dtype) alone, so they
+    # PERSIST across runs (data/baseline_cache.json): each costs 10+
+    # timed iterations of a ~300x-slower operator plus its compile —
+    # ~3-6 min per full suite that the wall budget can spend on dasp
+    # arms instead.  Suite matrices are deterministic; --mtx arms are
+    # keyed by (name, nnz) too, which is as stable as their files.
+    bcoo_disk_path = f"{args.csv_dir}/baseline_cache.json"
+    try:
+        with open(bcoo_disk_path) as f:
+            bcoo_disk = json.load(f)
+    except Exception:
+        bcoo_disk = {}
+
     def run_bcoo(name, dtype, csr, x):
+        from dasp_tpu.bench.harness import BenchResult
         bdt = "f32" if dtype == "f64" else dtype
         if (name, bdt) in bcoo_cache:
             return bcoo_cache[(name, bdt)], bdt
+        dk = f"{name}|{bdt}|{csr.nnz}"
+        if dk in bcoo_disk:
+            res = BenchResult(**bcoo_disk[dk])
+            bcoo_cache[(name, bdt)] = res
+            return res, bdt
         try:
             base = BCOOBaseline(csr, bdt)
             res = bench_spmv(base, x, bdt, iters=min(iters, 10), trials=2)
+            bcoo_disk[dk] = res.as_dict()
+            try:
+                os.makedirs(args.csv_dir, exist_ok=True)
+                with open(bcoo_disk_path, "w") as f:
+                    json.dump(bcoo_disk, f, indent=1)
+            except Exception:
+                pass
         except Exception as e:  # baseline may be unsupported
             print(f"# BCOO baseline failed on {name} {bdt}: {e}",
                   file=sys.stderr)
@@ -404,18 +435,7 @@ def main() -> int:
     # (a worker crash here can no longer lose any dasp measurement —
     # the complete summary is already the last JSON line).
     for name, dtype, bdt, csr, x in deferred_bcoo:
-        if (name, bdt) in bcoo_cache:
-            base_res = bcoo_cache[(name, bdt)]
-        else:
-            try:
-                base = BCOOBaseline(csr, bdt)
-                base_res = bench_spmv(base, x, bdt, iters=min(iters, 10),
-                                      trials=2)
-            except Exception as e:
-                print(f"# BCOO baseline failed on {name} {bdt}: {e}",
-                      file=sys.stderr)
-                base_res = None
-            bcoo_cache[(name, bdt)] = base_res
+        base_res, _ = run_bcoo(name, dtype, csr, x)
         if base_res is not None:
             if dtype == "f32" and name in dasp_f32:
                 SUMMARY.ratios.append(dasp_f32[name] / base_res.gflops)
